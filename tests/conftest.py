@@ -1,0 +1,35 @@
+import os
+
+# Force CPU with 8 virtual devices BEFORE jax import: sharding tests run on a
+# virtual mesh; real-TPU behavior is exercised by bench.py / the driver.
+# (The ambient environment pins JAX_PLATFORMS=axon — a tunneled TPU — which makes
+# every test compile remotely; override it unconditionally for unit tests.)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import random
+
+import numpy as np
+import pytest
+
+# Belt and braces: if some plugin imported jax before us (see pyproject.toml
+# addopts), force the platform at config level too. This raises if a non-CPU
+# backend was already initialized — better a loud failure than TPU-bound tests.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "unit tests must run on CPU"
+
+# Persistent compile cache: the limb-arithmetic graphs (esp. G1 kernels) are
+# expensive to compile on XLA:CPU; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    random.seed(1234)
+    np.random.seed(1234)

@@ -1,0 +1,274 @@
+"""BLS12-381 G1 point tensors in Jacobian coordinates, TPU-native.
+
+Rebuild of the reference G1 layer (/root/reference/g1-tensor.cu,
+/root/reference/bls12-381.cu:1331-1435). The reference's EFD formulas
+(dbl-2009-l, madd-2007-bl, add-2007-bl) carry per-thread branches for
+identity/equal-point cases; XLA has no per-element divergence, so every edge case
+here is a *branchless select*: both the generic formula and the special case are
+computed and `where`-combined. Point tensors are pytrees of three
+uint32[..., 12] Fp limb arrays (Montgomery form), so all ops vmap/shard
+transparently.
+
+Scalar multiplication follows the reference's LSB-first double-and-add over all
+256 bits (G1Jacobian_mul, g1-tensor.cu:422-431) as a `lax.fori_loop` (exact
+same add/double sequence => same Jacobian coordinates, enabling bit-exact
+cross-checks), plus a faster fixed-window variant for production use.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fp, mp
+
+
+class G1Jac(NamedTuple):
+    """Jacobian point tensor; x, y, z: uint32[..., 12] Fp in Montgomery form.
+
+    z == 0 encodes the identity (as in the reference, bls12-381.cuh:433-439).
+    """
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+
+    @property
+    def shape(self):
+        return self.x.shape[:-1]
+
+
+class G1Affine(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+
+    @property
+    def shape(self):
+        return self.x.shape[:-1]
+
+
+# Generator in Montgomery form (g1-tensor.cuh:29-63)
+GEN_X_MONT = np.array([
+    4250078230, 1555269520, 2574712821, 2014837863, 339452353, 357537223,
+    4090554183, 4037962445, 568063040, 3989728972, 2651585397, 302085953,
+], dtype=np.uint32)
+GEN_Y_MONT = np.array([
+    216474225, 3131872213, 2031680910, 2351063834, 1460086222, 3713621779,
+    1346392468, 1370249257, 2902481344, 236751935, 1342743146, 196886268,
+], dtype=np.uint32)
+
+
+def generator(shape=()) -> G1Jac:
+    """Broadcast Jacobian generator (z = mont(1))."""
+    x = jnp.broadcast_to(jnp.asarray(GEN_X_MONT), (*shape, 12))
+    y = jnp.broadcast_to(jnp.asarray(GEN_Y_MONT), (*shape, 12))
+    z = fp.ones_mont(shape)
+    return G1Jac(x, y, z)
+
+
+def identity(shape=()) -> G1Jac:
+    return G1Jac(fp.zeros(shape), fp.zeros(shape), fp.zeros(shape))
+
+
+def is_identity(p: G1Jac) -> jax.Array:
+    return fp.is_zero(p.z)
+
+
+def neg(p: G1Jac) -> G1Jac:
+    return G1Jac(p.x, fp.neg(p.y), p.z)
+
+
+def select(pred: jax.Array, a: G1Jac, b: G1Jac) -> G1Jac:
+    return G1Jac(fp.select(pred, a.x, b.x), fp.select(pred, a.y, b.y), fp.select(pred, a.z, b.z))
+
+
+def double(p: G1Jac) -> G1Jac:
+    """dbl-2009-l with identity passthrough (bls12-381.cu:1332-1358)."""
+    a = fp.sqr(p.x)
+    b = fp.sqr(p.y)
+    c = fp.sqr(b)
+    d = fp.sqr(fp.add(p.x, b))
+    d = fp.double(fp.sub(fp.sub(d, a), c))
+    e = fp.add(fp.double(a), a)
+    f = fp.sqr(e)
+    z3 = fp.double(fp.mul(p.y, p.z))
+    x3 = fp.sub(fp.sub(f, d), d)
+    c8 = fp.double(fp.double(fp.double(c)))
+    y3 = fp.sub(fp.mul(fp.sub(d, x3), e), c8)
+    return select(is_identity(p), p, G1Jac(x3, y3, z3))
+
+
+def add(p: G1Jac, q: G1Jac) -> G1Jac:
+    """add-2007-bl with all reference edge cases branchless
+    (bls12-381.cu:1404-1445): p==O -> q; q==O -> p; equal points -> double(p).
+    The a == -q case falls out of the formula with z3 == 0 (identity).
+    """
+    z1z1 = fp.sqr(p.z)
+    z2z2 = fp.sqr(q.z)
+    u1 = fp.mul(p.x, z2z2)
+    u2 = fp.mul(q.x, z1z1)
+    s1 = fp.mul(fp.mul(p.y, q.z), z2z2)
+    s2 = fp.mul(fp.mul(q.y, p.z), z1z1)
+
+    h = fp.sub(u2, u1)
+    i = fp.sqr(fp.double(h))
+    j = fp.mul(h, i)
+    r = fp.double(fp.sub(s2, s1))
+    v = fp.mul(u1, i)
+    x3 = fp.sub(fp.sub(fp.sub(fp.sqr(r), j), v), v)
+    y3 = fp.sub(fp.mul(fp.sub(v, x3), r), fp.double(fp.mul(s1, j)))
+    z3 = fp.mul(fp.sub(fp.sub(fp.sqr(fp.add(p.z, q.z)), z1z1), z2z2), h)
+    generic = G1Jac(x3, y3, z3)
+
+    same = fp.eq(u1, u2) & fp.eq(s1, s2)
+    out = select(same, double(p), generic)
+    out = select(is_identity(q), p, out)
+    out = select(is_identity(p), q, out)
+    return out
+
+
+def add_mixed(p: G1Jac, q: G1Affine) -> G1Jac:
+    """madd-2007-bl, branchless (bls12-381.cu:1361-1401). Affine q is never the
+    identity in reference usage (generators are real points)."""
+    z1z1 = fp.sqr(p.z)
+    u2 = fp.mul(q.x, z1z1)
+    s2 = fp.mul(fp.mul(q.y, p.z), z1z1)
+
+    h = fp.sub(u2, p.x)
+    hh = fp.sqr(h)
+    i = fp.double(fp.double(hh))
+    j = fp.mul(h, i)
+    r = fp.double(fp.sub(s2, p.y))
+    v = fp.mul(p.x, i)
+    x3 = fp.sub(fp.sub(fp.sqr(r), j), fp.double(v))
+    y3 = fp.sub(fp.mul(fp.sub(v, x3), r), fp.double(fp.mul(p.y, j)))
+    z3 = fp.sub(fp.sub(fp.sqr(fp.add(p.z, h)), z1z1), hh)
+    generic = G1Jac(x3, y3, z3)
+
+    one = fp.ones_mont(p.shape)
+    lifted = G1Jac(jnp.broadcast_to(q.x, p.x.shape), jnp.broadcast_to(q.y, p.y.shape), one)
+    same = fp.eq(p.x, u2) & fp.eq(p.y, s2)
+    out = select(same, double(p), generic)
+    out = select(is_identity(p), lifted, out)
+    return out
+
+
+def _scalar_bits(scalar: jax.Array) -> jax.Array:
+    """uint32[..., 8] (non-Montgomery Fr) -> uint32[..., 256] bits, LSB first."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (scalar[..., :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(*scalar.shape[:-1], 256)
+
+
+def scalar_mul(p: G1Jac, scalar: jax.Array) -> G1Jac:
+    """LSB-first double-and-add over all 256 bits, matching G1Jacobian_mul
+    (g1-tensor.cu:422-431) add/double order exactly. `scalar` must be in
+    *non-Montgomery* form (the reference unmonts before multiplying,
+    commitment.cu:33).
+    """
+    bits = _scalar_bits(scalar)
+
+    def body(i, carry):
+        out, acc = carry
+        bit = jax.lax.dynamic_index_in_dim(bits, i, axis=-1, keepdims=False)
+        out = select(bit.astype(jnp.bool_), add(out, acc), out)
+        acc = double(acc)
+        return out, acc
+
+    out, _ = jax.lax.fori_loop(0, 256, body, (identity(p.shape), p))
+    return out
+
+
+def scalar_mul_windowed(p: G1Jac, scalar: jax.Array, window: int = 4) -> G1Jac:
+    """Fixed-window scalar mul: same group result as `scalar_mul`, ~window x
+    fewer adds (Jacobian coordinates differ; compare in affine)."""
+    assert 256 % window == 0
+    n_windows = 256 // window
+    # table[k] = k * p for k in 0..2^w-1
+    table = [identity(p.shape), p]
+    for k in range(2, 1 << window):
+        table.append(add(table[k - 1], p))
+    tx = jnp.stack([t.x for t in table])  # (2^w, ..., 12)
+    ty = jnp.stack([t.y for t in table])
+    tz = jnp.stack([t.z for t in table])
+
+    shifts = jnp.arange(0, 32, window, dtype=jnp.uint32)
+    digits = (scalar[..., :, None] >> shifts) & jnp.uint32((1 << window) - 1)
+    digits = digits.reshape(*scalar.shape[:-1], n_windows)  # LSB-first windows
+
+    def body(j, out):
+        i = n_windows - 1 - j  # MSB-first accumulation
+        for _ in range(window):
+            out = double(out)
+        d = jax.lax.dynamic_index_in_dim(digits, i, axis=-1, keepdims=False)
+        px = jnp.take_along_axis(tx, d[None, ..., None], axis=0)[0]
+        py = jnp.take_along_axis(ty, d[None, ..., None], axis=0)[0]
+        pz = jnp.take_along_axis(tz, d[None, ..., None], axis=0)[0]
+        return add(out, G1Jac(px, py, pz))
+
+    return jax.lax.fori_loop(0, n_windows, body, identity(p.shape))
+
+
+# Module-level jitted primitives: the ONLY compile units for G1 work. Larger
+# graphs (commit, me_open, reductions) are Python loops over these so that the
+# compile cache is keyed by the small set of power-of-two shapes actually used.
+add_jit = jax.jit(add)
+add_mixed_jit = jax.jit(add_mixed)
+double_jit = jax.jit(double)
+scalar_mul_jit = jax.jit(scalar_mul)
+scalar_mul_windowed_jit = jax.jit(scalar_mul_windowed, static_argnums=(2,))
+
+
+def g1_sum(p: G1Jac) -> G1Jac:
+    """Sum a (n, ...) point tensor along axis 0 by pairwise tree of adds.
+
+    Group-equal to the reference's shared-memory reduction (g1-tensor.cu:368-420);
+    Jacobian coordinates may differ (compare in affine)."""
+    n = p.x.shape[0]
+    while n > 1:
+        if n % 2:
+            pad = identity((1, *p.x.shape[1:-1]))
+            p = G1Jac(
+                jnp.concatenate([p.x, pad.x]),
+                jnp.concatenate([p.y, pad.y]),
+                jnp.concatenate([p.z, pad.z]),
+            )
+            n += 1
+        p = add_jit(G1Jac(p.x[0::2], p.y[0::2], p.z[0::2]), G1Jac(p.x[1::2], p.y[1::2], p.z[1::2]))
+        n = p.x.shape[0]
+    return G1Jac(p.x[0], p.y[0], p.z[0])
+
+
+def me_step(p: G1Jac, x_mont: jax.Array) -> G1Jac:
+    """One G1 multilinear fold: out = a0 + x*(a1 - a0) with G1 adds/scalar-muls,
+    matching G1_me_step (g1-tensor.cu:463-475) incl. odd-tail zero padding and
+    in-kernel unmont of the challenge."""
+    n = p.x.shape[0]
+    m = (n + 1) // 2
+    if n < 2 * m:
+        pad = identity((2 * m - n, *p.x.shape[1:-1]))
+        p = G1Jac(
+            jnp.concatenate([p.x, pad.x]),
+            jnp.concatenate([p.y, pad.y]),
+            jnp.concatenate([p.z, pad.z]),
+        )
+    a0 = G1Jac(p.x[0::2], p.y[0::2], p.z[0::2])
+    a1 = G1Jac(p.x[1::2], p.y[1::2], p.z[1::2])
+    from ..field import fr
+
+    x_unmont = fr.unmont(x_mont)
+    diff_scaled = scalar_mul_jit(add_jit(a1, neg(a0)), jnp.broadcast_to(x_unmont, (*a0.shape, 8)))
+    return add_jit(a0, diff_scaled)
+
+
+def me_eval(p: G1Jac, u_mont: jax.Array) -> G1Jac:
+    """G1 MLE eval at point u (G1_me, g1-tensor.cu:477-491)."""
+    n = p.x.shape[0]
+    r = u_mont.shape[0]
+    assert n > (1 << r) // 2 and n <= (1 << r), (n, r)
+    for i in range(r):
+        p = me_step(p, u_mont[i])
+    return G1Jac(p.x[0], p.y[0], p.z[0])

@@ -1,0 +1,17 @@
+"""Runtime configuration helpers (compile cache, platform selection)."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compile cache. The limb-arithmetic kernels
+    (especially G1 scalar-mul bodies) are expensive to compile; caching them on
+    disk makes repeat runs start in seconds."""
+    import jax
+
+    path = path or os.environ.get("ZKDL_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
