@@ -1,6 +1,7 @@
-"""Pedersen commitment tests: commit correctness vs oracle, open/verify
-round-trip, tamper rejection."""
+"""Pedersen commitment tests: commit correctness vs oracle, fast (dlog) path vs
+opaque path point-equality, open/verify round-trip, tamper rejection."""
 
+import dataclasses
 import random
 
 import jax
@@ -26,14 +27,43 @@ def test_commit_matches_oracle():
     xs = [random.randrange(fr.P_INT) for _ in range(gen_size * m)]
     t = jnp.asarray(fr.from_ints(xs))  # mont-form elements with value unmont(x)
     com = pedersen.commit(gens, t)
-    gen_pts = convert.jac_from_device(gens)
-    com_pts = convert.jac_from_device(com)
+    gen_pts = convert.jac_from_device(gens.points)
+    com_pts = convert.jac_from_device(com.points)
     for row in range(m):
         exp = host_g1.IDENTITY
         for i in range(gen_size):
             s = HF.unmont(xs[row * gen_size + i])
             exp = host_g1.add(exp, host_g1.scalar_mul(gen_pts[i], s))
         assert host_g1.eq_points(com_pts[row], exp), row
+
+
+def test_fast_path_equals_opaque_path():
+    """The dlog shortcut must produce group-identical commitments and opening
+    proofs to the generic G1-tensor path."""
+    gen_size, m = 4, 4
+    gens = setup_gens(gen_size, seed=9)
+    opaque = pedersen.Generators(points=gens.points, dlogs=None)
+    xs = [random.randrange(fr.P_INT) for _ in range(gen_size * m)]
+    t = jnp.asarray(fr.from_ints(xs))
+    com_fast = pedersen.commit(gens, t)
+    com_opaque = pedersen.commit(opaque, t)
+    for a, b in zip(convert.jac_from_device(com_fast.points), convert.jac_from_device(com_opaque.points)):
+        assert host_g1.eq_points(a, b)
+
+    us = [random.randrange(fr.P_INT) for _ in range(4)]
+    u = jnp.asarray(fr.from_ints(us))
+    pf = pedersen.open(gens, t, com_fast, u)
+    po = pedersen.open(opaque, t, com_opaque, u)
+    assert (np.asarray(pf.final_scalar) == np.asarray(po.final_scalar)).all()
+    for rf, ro in zip(pf.round_points, po.round_points):
+        for a, b in zip(convert.jac_from_device(rf), convert.jac_from_device(ro)):
+            assert host_g1.eq_points(a, b)
+    fgf = convert.jac_from_device(g1.G1Jac(pf.final_gen.x[None], pf.final_gen.y[None], pf.final_gen.z[None]))[0]
+    fgo = convert.jac_from_device(g1.G1Jac(po.final_gen.x[None], po.final_gen.y[None], po.final_gen.z[None]))[0]
+    assert host_g1.eq_points(fgf, fgo)
+    caf = convert.jac_from_device(g1.G1Jac(pf.com_at_u_row.x[None], pf.com_at_u_row.y[None], pf.com_at_u_row.z[None]))[0]
+    cao = convert.jac_from_device(g1.G1Jac(po.com_at_u_row.x[None], po.com_at_u_row.y[None], po.com_at_u_row.z[None]))[0]
+    assert host_g1.eq_points(caf, cao)
 
 
 def test_open_verify_roundtrip():

@@ -122,3 +122,26 @@ def test_mt19937_matches_cpp():
     # std::mt19937 first outputs for default seed 5489
     rng = transcript.MT19937(5489)
     assert [rng.next_u32() for _ in range(3)] == [3499211612, 581869302, 3890346734]
+
+
+def test_fast_matmul_matches_general():
+    # realistic magnitudes (quantized activations/weights) including negatives
+    rng = np.random.default_rng(3)
+    batch, in_s, out_s = 4, 8, 8
+    x_f = rng.standard_normal((batch, in_s)).astype(np.float32) * 20
+    w_f = rng.standard_normal((in_s, out_s)).astype(np.float32) * 5
+    X = fr.mont(quantize.load_input(x_f))
+    W = quantize.load_weights(w_f)
+    Z_gen = zkfc.field_matmul_jit(X, W, in_s, out_s)
+    Z_fast = zkfc.field_matmul_fast_jit(X, W, in_s, out_s)
+    assert (np.asarray(Z_gen) == np.asarray(Z_fast)).all()
+    # values near the 2^47 boundary (largest valid magnitudes)
+    big = [2**47 - 1, P - (2**47 - 1), 2**46, P - 2**46, 0, 1, P - 1]
+    pad = [0] * (8 - len(big))
+    Xb = fr.mont(jnp.asarray(fr.from_ints((big + pad) * in_s)))[: in_s * 8].reshape(-1, 8)
+    # use batch=8 rows of the same pattern
+    Xb = fr.mont(jnp.asarray(fr.from_ints((big + pad) * 8)))
+    Wb = quantize.load_weights(rng.standard_normal((8, 8)).astype(np.float32))
+    Zg = zkfc.field_matmul_jit(Xb, Wb, 8, 8)
+    Zf = zkfc.field_matmul_fast_jit(Xb, Wb, 8, 8)
+    assert (np.asarray(Zg) == np.asarray(Zf)).all()

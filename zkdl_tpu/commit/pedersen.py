@@ -13,10 +13,25 @@ TPU-native rebuild of /root/reference/commitment.cu. The scheme:
   G1 cross-term sums and fold scalars (by u, Montgomery math) and generators
   (reversed fold g1 + u*(g0-g1), by unmont u).
 
-Reference quirk preserved: inside me_open, G1 scalar-muls use the *Montgomery
-representation bits* of the scalars (me_open_step treats Fr_t as a raw 256-bit
-exponent; commitment.cu:43-60), i.e. every cross term is the R-scaled group
-element (g^(s*R)). This is still verifiable because scalar-mul is linear:
+Two executions of the same math:
+
+- **Transparent fast path (default).** The reference's setup draws r_i itself
+  (demo.cu:82), so the proving party knows every generator's discrete log. All
+  G1 *tensor* work then collapses to Fr arithmetic on the dlog vector — a row
+  commitment is (sum_i s_i*r_i) * G, each me_open cross-term sum is one scalar
+  whose point is a single G^sigma — producing *identical group elements* to the
+  naive path while replacing ~N 256-bit double-and-add chains by N Fr muls and
+  O(1) scalar muls. This eliminates the reference's hottest loop
+  (G1Jacobian_mul inside commit/open, SURVEY.md §3) by algorithm, not by kernel
+  tuning. Trust model is unchanged from the reference: whoever runs setup knows
+  the dlogs either way.
+- **Opaque path.** For generators from an external SRS (no dlogs), the generic
+  G1-tensor implementation (scalar-mul + tree-sum + point folds) is used.
+  Tests cross-check both paths for point equality.
+
+Reference quirk preserved (both paths): inside me_open, G1 exponents are the
+*Montgomery representation bits* of the scalars (me_open_step, commitment.cu:43-60),
+i.e. every cross term is the R-scaled group element g^(s*R). Still verifiable —
 our verifier (absent in the reference) tracks D_k = C_k^R with
    check: temp_A_k == D_k
    D_{k+1} = (1-u)^2 * temp0_k + u(1-u) * D_k + u^2 * temp1_k
@@ -41,6 +56,27 @@ HF = host.fr
 
 
 @dataclasses.dataclass
+class Generators:
+    """Generator vector; dlogs (Montgomery form, (n, 8)) are present in the
+    transparent setting: points[i] == unmont(dlogs[i]) * G."""
+
+    points: g1.G1Jac
+    dlogs: jax.Array | None = None
+
+    @property
+    def size(self) -> int:
+        return self.points.x.shape[0]
+
+
+@dataclasses.dataclass
+class RowCommitments:
+    """Per-row Pedersen commitments; dlogs carried along on the fast path."""
+
+    points: g1.G1Jac  # (m,)
+    dlogs: jax.Array | None = None  # (m, 8) mont
+
+
+@dataclasses.dataclass
 class OpeningProof:
     com_at_u_row: g1.G1Jac  # evaluation of the row-commitment vector at u_row
     round_points: list  # per round: G1Jac of shape (3,): (temp, temp0, temp1)
@@ -48,40 +84,114 @@ class OpeningProof:
     final_scalar: jax.Array  # (8,) mont — equals t's MLE at u (order-independent)
 
 
-def setup(key: jax.Array, gen_size: int) -> g1.G1Jac:
+def _gen_point() -> g1.G1Jac:
+    return g1.generator((1,))
+
+
+@jax.jit
+def _g_pow(scalar_1x8: jax.Array) -> g1.G1Jac:
+    """G ^ (raw 256-bit value of scalar) for a (1, 8) scalar."""
+    return g1.scalar_mul(_gen_point(), scalar_1x8)
+
+
+def setup(key: jax.Array, gen_size: int) -> Generators:
     """Generator vector: r_i * G for random Fr r_i (demo.cu:81-82).
 
-    The reference multiplies by the Montgomery *representation* of random field
-    elements (G1Jacobian_mul consumes raw bits); since r is uniform, r*R mod p is
-    uniform too — we multiply the plain generator by uniform non-Montgomery
-    scalars, which has the identical distribution.
+    The reference multiplies the broadcast generator by the *raw bits* of
+    `FrTensor::random` (G1Jacobian_mul consumes bits; g1-tensor.cu:433), so the
+    dlog of g_i is the raw random value v_i. We store mont(v_i) for Fr math.
     """
-    scalars = fr_ops.random_fr(key, gen_size)
-    return g1.scalar_mul_jit(g1.generator((gen_size,)), scalars)
+    scalars = fr_ops.random_fr(key, gen_size)  # raw values v_i
+    points = g1.scalar_mul_jit(g1.generator((gen_size,)), scalars)
+    return Generators(points=points, dlogs=fr.mont(scalars))
 
 
-def commit(gens: g1.G1Jac, t: jax.Array) -> g1.G1Jac:
+def commit(gens: Generators, t: jax.Array) -> RowCommitments:
     """Row commitments; t: (m*gen_size, 8) Montgomery. Returns (m,) points.
 
-    Matches Commitment::commit (commitment.cu:29-41): scalars unmonted first.
+    Group-identical to Commitment::commit (commitment.cu:29-41): exponents are
+    unmont(t). Fast path: sigma_row = sum_i t_i * r_i (Montgomery domain), then
+    one G^unmont(sigma) per row.
     """
-    gen_size = gens.x.shape[0]
+    gen_size = gens.size
     assert t.shape[0] % gen_size == 0
     m = t.shape[0] // gen_size
+
+    if gens.dlogs is not None:
+        sigma = _commit_rows_fast(t.reshape(m, gen_size, 8), gens.dlogs)  # (m, 8) mont
+        points = g1.scalar_mul_jit(g1.generator((m,)), fr.unmont(sigma))
+        return RowCommitments(points=points, dlogs=sigma)
+
     t_unmont = fr.unmont(t).reshape(m, gen_size, 8)
-    gx = jnp.broadcast_to(gens.x, (m, gen_size, 12))
-    gy = jnp.broadcast_to(gens.y, (m, gen_size, 12))
-    gz = jnp.broadcast_to(gens.z, (m, gen_size, 12))
+    gx = jnp.broadcast_to(gens.points.x, (m, gen_size, 12))
+    gy = jnp.broadcast_to(gens.points.y, (m, gen_size, 12))
+    gz = jnp.broadcast_to(gens.points.z, (m, gen_size, 12))
     prods = g1.scalar_mul_jit(g1.G1Jac(gx, gy, gz), t_unmont)
-    # row-sum: pairwise tree along axis 1
     p = g1.G1Jac(
         jnp.moveaxis(prods.x, 1, 0), jnp.moveaxis(prods.y, 1, 0), jnp.moveaxis(prods.z, 1, 0)
     )
-    return g1.g1_sum(p)
+    return RowCommitments(points=g1.g1_sum(p))
+
+
+@jax.jit
+def _commit_rows_fast(t3: jax.Array, dlogs: jax.Array) -> jax.Array:
+    """(m, gen_size, 8) mont x (gen_size, 8) mont -> (m, 8) mont row sums of
+    t_i * r_i (value domain: s_i * v_i)."""
+    prods = fr.mul(t3, jnp.broadcast_to(dlogs, t3.shape))
+    s = prods
+    while s.shape[1] > 1:
+        k = s.shape[1]
+        if k % 2:
+            s = jnp.concatenate([s, jnp.zeros_like(s[:, :1])], axis=1)
+        s = fr.add(s[:, 0::2], s[:, 1::2])
+    return s[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# opening
+# ---------------------------------------------------------------------------
+
+
+def me_open_fast(t: jax.Array, dlogs: jax.Array, u_in: jax.Array):
+    """Dlog-domain split-and-fold: identical proof points to me_open.
+
+    Per round (cf. me_open_step, commitment.cu:43-60), with value-domain
+    identities  temp = (sum v_i s_i R) G  etc., each emitted point is
+    G^(raw bits of a Montgomery sum):
+      sigmaA = sum_pairs (r0*s0 + r1*s1);  sigma0 = sum r1*s0;  sigma1 = sum r0*s1
+    where all products are Montgomery muls (so raw bits carry the extra R).
+    """
+    n, r = t.shape[0], u_in.shape[0]
+    assert n == (1 << r), (n, r)
+    round_points = []
+    d = dlogs
+    for i in range(r):
+        u = u_in[i]
+        s0, s1 = t[0::2], t[1::2]
+        d0, d1 = d[0::2], d[1::2]
+        sigmaA, sigma0, sigma1, t, d = _me_open_fast_round(s0, s1, d0, d1, u)
+        pts = g1.scalar_mul_jit(g1.generator((3,)), jnp.stack([sigmaA, sigma0, sigma1]))
+        round_points.append(pts)
+    final_gen_pt = g1.scalar_mul_jit(_gen_point(), fr.unmont(d[0:1]))
+    final_gen = g1.G1Jac(final_gen_pt.x[0], final_gen_pt.y[0], final_gen_pt.z[0])
+    return round_points, final_gen, t[0]
+
+
+@jax.jit
+def _me_open_fast_round(s0, s1, d0, d1, u):
+    ub = jnp.broadcast_to(u, s0.shape)
+    t_new = fr.add(s0, fr.mul(ub, fr.sub(s1, s0)))
+    # generators fold reversed by the *value* of u: r' = r1 + u(r0 - r1)
+    d_new = fr.add(d1, fr.mul(ub, fr.sub(d0, d1)))
+    # cross-term scalars; exponents are the raw (Montgomery) bits of these sums
+    sigmaA = fr_ops.fr_sum(fr.add(fr.mul(d0, s0), fr.mul(d1, s1)))
+    sigma0 = fr_ops.fr_sum(fr.mul(d1, s0))
+    sigma1 = fr_ops.fr_sum(fr.mul(d0, s1))
+    return sigmaA, sigma0, sigma1, t_new, d_new
 
 
 def me_open(t: jax.Array, gens: g1.G1Jac, u_in: jax.Array):
-    """Split-and-fold opening rounds (Commitment::me_open, commitment.cu:43-81).
+    """Opaque-generator split-and-fold (Commitment::me_open, commitment.cu:43-81).
 
     t: (n, 8) mont scalars, gens: (n,) points, u_in: (r, 8) with n == 2^r.
     Returns (round_points list, final_gen, final_scalar).
@@ -94,44 +204,51 @@ def me_open(t: jax.Array, gens: g1.G1Jac, u_in: jax.Array):
         s0, s1 = t[0::2], t[1::2]
         gg0 = g1.G1Jac(gens.x[0::2], gens.y[0::2], gens.z[0::2])
         gg1 = g1.G1Jac(gens.x[1::2], gens.y[1::2], gens.z[1::2])
-        # scalars fold in Montgomery arithmetic
         t = fr.add(s0, fr.mul(jnp.broadcast_to(u, s0.shape), fr.sub(s1, s0)))
-        # generators fold reversed, by the *integer* value of u (commitment.cu:56)
         u_unmont = fr.unmont(u)
         gdiff = g1.add_jit(gg0, g1.neg(gg1))
         gens = g1.add_jit(gg1, g1.scalar_mul_jit(gdiff, jnp.broadcast_to(u_unmont, (*gdiff.shape, 8))))
-        # cross terms with Montgomery-representation exponents (reference quirk)
         tA = g1.add_jit(g1.scalar_mul_jit(gg0, s0), g1.scalar_mul_jit(gg1, s1))
         t0 = g1.scalar_mul_jit(gg1, s0)
         t1 = g1.scalar_mul_jit(gg0, s1)
+        sA, s0p, s1p = g1.g1_sum(tA), g1.g1_sum(t0), g1.g1_sum(t1)
         round_points.append(
             g1.G1Jac(
-                jnp.stack([g1.g1_sum(tA).x, g1.g1_sum(t0).x, g1.g1_sum(t1).x]),
-                jnp.stack([g1.g1_sum(tA).y, g1.g1_sum(t0).y, g1.g1_sum(t1).y]),
-                jnp.stack([g1.g1_sum(tA).z, g1.g1_sum(t0).z, g1.g1_sum(t1).z]),
+                jnp.stack([sA.x, s0p.x, s1p.x]),
+                jnp.stack([sA.y, s0p.y, s1p.y]),
+                jnp.stack([sA.z, s0p.z, s1p.z]),
             )
         )
     final_gen = g1.G1Jac(gens.x[0], gens.y[0], gens.z[0])
     return round_points, final_gen, t[0]
 
 
-def _open_core(gens: g1.G1Jac, t: jax.Array, com: g1.G1Jac, u: jax.Array, log_m: int):
-    gen_size = gens.x.shape[0]
-    u_row = u[u.shape[0] - log_m :]
-    u_in = u[: u.shape[0] - log_m]
-    com_at = g1.me_eval(com, u_row) if log_m > 0 else g1.G1Jac(com.x[0], com.y[0], com.z[0])
-    t_folded = fr_ops.partial_me(t, u_row, gen_size) if log_m > 0 else t
-    round_points, final_gen, final_scalar = me_open(t_folded, gens, u_in)
-    return com_at, round_points, final_gen, final_scalar
-
-
-def open(gens: g1.G1Jac, t: jax.Array, com: g1.G1Jac, u: jax.Array) -> OpeningProof:
+def open(gens: Generators, t: jax.Array, com: RowCommitments, u: jax.Array) -> OpeningProof:
     """Full opening at point u (Commitment::open, commitment.cu:83-92)."""
-    gen_size = gens.x.shape[0]
-    m = com.x.shape[0]
+    gen_size = gens.size
+    m = com.points.x.shape[0]
     log_m = fr_ops.ceil_log2(m)
     assert gen_size == (1 << (u.shape[0] - log_m)), (gen_size, u.shape, log_m)
-    com_at, round_points, final_gen, final_scalar = _open_core(gens, t, com, u, log_m)
+    u_row = u[u.shape[0] - log_m :]
+    u_in = u[: u.shape[0] - log_m]
+
+    t_folded = fr_ops.partial_me(t, u_row, gen_size) if log_m > 0 else t
+
+    if gens.dlogs is not None and com.dlogs is not None:
+        # com(u_row) via dlog fold: sigma' = MLE of row dlogs at u_row
+        sig = com.dlogs
+        for i in range(log_m):
+            sig = fr_ops.me_step(sig, u_row[i])
+        com_pt = g1.scalar_mul_jit(_gen_point(), fr.unmont(sig[0:1]))
+        com_at = g1.G1Jac(com_pt.x[0], com_pt.y[0], com_pt.z[0])
+        round_points, final_gen, final_scalar = me_open_fast(t_folded, gens.dlogs, u_in)
+    else:
+        com_at = (
+            g1.me_eval(com.points, u_row)
+            if log_m > 0
+            else g1.G1Jac(com.points.x[0], com.points.y[0], com.points.z[0])
+        )
+        round_points, final_gen, final_scalar = me_open(t_folded, gens.points, u_in)
     return OpeningProof(com_at, round_points, final_gen, final_scalar)
 
 
@@ -155,7 +272,6 @@ def verify_open(proof: OpeningProof, u: Sequence[int], expected_value: int | Non
     com_at = convert.jac_from_device(
         g1.G1Jac(proof.com_at_u_row.x[None], proof.com_at_u_row.y[None], proof.com_at_u_row.z[None])
     )[0]
-    log_m_used = len(u) - len(rounds)
     u_in = list(u[: len(rounds)])
 
     R = HF.r
@@ -187,13 +303,13 @@ def verify_open(proof: OpeningProof, u: Sequence[int], expected_value: int | Non
     return True, ""
 
 
-def verify_open_against_com(proof: OpeningProof, com: g1.G1Jac, u: Sequence[int]) -> tuple[bool, str]:
+def verify_open_against_com(proof: OpeningProof, com: RowCommitments, u: Sequence[int]) -> tuple[bool, str]:
     """Additionally bind the proof to the original row commitments: recompute
     com(u_row) on host and compare with the proof's com_at_u_row."""
-    m = com.x.shape[0]
+    m = com.points.x.shape[0]
     log_m = fr_ops.ceil_log2(m)
     u_row = list(u[len(u) - log_m :]) if log_m else []
-    pts = convert.jac_from_device(com)
+    pts = convert.jac_from_device(com.points)
     for uk in u_row:
         uk_true = HF.unmont(uk)
         if len(pts) % 2:

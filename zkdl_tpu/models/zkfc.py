@@ -23,6 +23,7 @@ commitments, with final_scalar == the sumcheck's W-side final claim)."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,10 @@ from ..sumcheck.transcript import ChallengeSource
 from ..tensor import fr_ops
 
 HF = host.fr
+
+# Forward-matmul path selector: the fast MXU path is exact for all models that
+# satisfy the protocol's own magnitude bound (any model zkReLU can handle).
+USE_FAST_MATMUL = True
 
 
 def field_matmul(X: jax.Array, W: jax.Array, in_size: int, out_size: int, block: int = 64) -> jax.Array:
@@ -65,6 +70,120 @@ def field_matmul(X: jax.Array, W: jax.Array, in_size: int, out_size: int, block:
 field_matmul_jit = jax.jit(field_matmul, static_argnums=(2, 3, 4))
 
 
+# ---------------------------------------------------------------------------
+# fast MXU path
+# ---------------------------------------------------------------------------
+
+_N_DIGITS = 7  # 7-bit digits x 7 = 49 bits, covers the protocol's 48-bit bound
+_DIGIT_BITS = 7
+_N_COLS = 2 * _N_DIGITS - 1
+
+# 2^47 - 1 threshold for "positive" (same as zkReLU, zkrelu.cu:18)
+_POS_MAX_47 = np.array([4294967295, 32767, 0, 0, 0, 0, 0, 0], dtype=np.uint32)
+
+
+def _signed_digits(v: jax.Array):
+    """Montgomery Fr (n, 8) -> (pos_digits, neg_digits) int8 (n, 7) of the
+    value's magnitude, split by sign (values must lie in (-2^47, 2^47) — the
+    protocol invariant zkReLU already assumes, zkrelu.cu:18-27)."""
+    from ..field import mp
+
+    x = fr.unmont(v)
+    pos = mp._gte(jnp.broadcast_to(jnp.asarray(_POS_MAX_47), x.shape), x)
+    neg_mag = fr.neg(x)
+    lo = jnp.where(pos, x[:, 0], neg_mag[:, 0])
+    hi = jnp.where(pos, x[:, 1], neg_mag[:, 1])
+
+    digits = []
+    for k in range(_N_DIGITS):
+        s = _DIGIT_BITS * k
+        if s < 32:
+            d = lo >> np.uint32(s)
+            if s > 32 - _DIGIT_BITS:
+                d = d | (hi << np.uint32(32 - s))
+        else:
+            d = hi >> np.uint32(s - 32)
+        digits.append(d & np.uint32(0x7F))
+    dig = jnp.stack(digits, axis=-1).astype(jnp.int8)  # (n, 7)
+    posb = pos[:, None]
+    return jnp.where(posb, dig, 0), jnp.where(posb, 0, dig)
+
+
+@functools.lru_cache(maxsize=None)
+def _col_weights_mont2() -> np.ndarray:
+    """K_c = 2^(7c) * R^2 mod p as limb constants: fr.mul(raw_col, K_c) ==
+    mont(col * 2^(7c)) — lifts int32 column sums straight into Montgomery form."""
+    from ..field import mp
+
+    R2 = (fr.SPEC.r * fr.SPEC.r) % fr.P_INT
+    return np.stack([
+        mp.limbs_from_int((1 << (_DIGIT_BITS * c)) * R2 % fr.P_INT, 8)
+        for c in range(_N_COLS)
+    ])
+
+
+def _digit_matmul(a_dig: jax.Array, b_dig: jax.Array, batch: int, in_size: int, out_size: int) -> jax.Array:
+    """(batch*in, 7) x (in*out, 7) int8 -> int32 digit-pair products summed over
+    `in`, as ONE MXU matmul: (7*batch, in) @ (in, 7*out) -> (batch,7,out,7)."""
+    A = a_dig.reshape(batch, in_size, _N_DIGITS).transpose(0, 2, 1).reshape(batch * _N_DIGITS, in_size)
+    B = b_dig.reshape(in_size, out_size, _N_DIGITS).transpose(0, 2, 1).reshape(in_size, _N_DIGITS * out_size)
+    # per-element accumulation over in_size: <= 2^11 * 127^2 < 2^25, exact in i32
+    R = jax.lax.dot_general(
+        A, B, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return R.reshape(batch, _N_DIGITS, _N_DIGITS, out_size)  # [b, d1, d2, o]
+
+
+def _combine_columns(R: jax.Array) -> jax.Array:
+    """(b, d1, d2, o) int32 -> (b, o, n_cols) column sums c = d1 + d2."""
+    b, _, _, o = R.shape
+    cols = [jnp.zeros((b, o), jnp.int32) for _ in range(_N_COLS)]
+    for d1 in range(_N_DIGITS):
+        for d2 in range(_N_DIGITS):
+            cols[d1 + d2] = cols[d1 + d2] + R[:, d1, d2, :]
+    return jnp.stack(cols, axis=-1)  # (b, o, n_cols) each < 2^29
+
+
+def field_matmul_fast(X: jax.Array, W: jax.Array, in_size: int, out_size: int) -> jax.Array:
+    """MXU int8 field matmul. Exploits the protocol's bounded-magnitude
+    invariant (all values in (-2^47, 2^47), cf. zkrelu.cu:18): operands are
+    sign-split into 7-bit digit matrices, multiplied with four int8 MXU matmuls
+    ((7b, in) @ (in, 7o) each), and the int32 digit-column sums are lifted back
+    into Montgomery Fr with one small fused combine (13 fr-muls per output
+    element instead of `in_size` full field muls for the naive path).
+
+    Group-identical output to `field_matmul` whenever operand magnitudes are in
+    range; out-of-range models (invalid for zkReLU anyway) would differ.
+    """
+    batch = X.shape[0] // in_size
+    xp, xn = _signed_digits(X)
+    wp, wn = _signed_digits(W)
+
+    Rpp = _digit_matmul(xp, wp, batch, in_size, out_size)
+    Rnn = _digit_matmul(xn, wn, batch, in_size, out_size)
+    Rpn = _digit_matmul(xp, wn, batch, in_size, out_size)
+    Rnp = _digit_matmul(xn, wp, batch, in_size, out_size)
+
+    cols_pos = _combine_columns(Rpp) + _combine_columns(Rnn)  # < 2^30
+    cols_neg = _combine_columns(Rpn) + _combine_columns(Rnp)
+
+    K = jnp.asarray(_col_weights_mont2())  # (n_cols, 8)
+
+    def lift(cols):
+        raw = jnp.zeros((*cols.shape, 8), dtype=jnp.uint32).at[..., 0].set(cols.astype(jnp.uint32))
+        terms = fr.mul(raw, jnp.broadcast_to(K, raw.shape))  # mont(col * 2^(7c))
+        acc = terms[..., 0, :]
+        for c in range(1, _N_COLS):
+            acc = fr.add(acc, terms[..., c, :])
+        return acc
+
+    Z = fr.sub(lift(cols_pos), lift(cols_neg))  # (b, o, 8) mont
+    return Z.reshape(batch * out_size, 8)
+
+
+field_matmul_fast_jit = jax.jit(field_matmul_fast, static_argnums=(2, 3))
+
+
 @dataclasses.dataclass
 class ZkFC:
     """Layer parameters. weights: (in_size*out_size, 8) Montgomery, padded to
@@ -73,8 +192,8 @@ class ZkFC:
     in_size: int
     out_size: int
     weights: jax.Array
-    gens: g1.G1Jac
-    com: g1.G1Jac
+    gens: pedersen.Generators
+    com: pedersen.RowCommitments
 
     @staticmethod
     def gen_size_for(in_size: int, out_size: int) -> int:
@@ -95,6 +214,8 @@ class ZkFC:
 
     def __call__(self, X: jax.Array) -> jax.Array:
         assert X.shape[0] % self.in_size == 0
+        if USE_FAST_MATMUL:
+            return field_matmul_fast_jit(X, self.weights, self.in_size, self.out_size)
         return field_matmul_jit(X, self.weights, self.in_size, self.out_size)
 
 
@@ -136,7 +257,7 @@ def prove(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) 
     return proof
 
 
-def verify(layer_com: g1.G1Jac, proof: ZkFCProof) -> tuple[bool, str]:
+def verify(layer_com: pedersen.RowCommitments, proof: ZkFCProof) -> tuple[bool, str]:
     """Verify the matmul sumcheck and the weight-commitment opening.
 
     The initial sumcheck claim is the proof's Z(u_out||u_bs) — at model level
