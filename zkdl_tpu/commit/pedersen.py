@@ -160,34 +160,44 @@ def me_open_fast(t: jax.Array, dlogs: jax.Array, u_in: jax.Array):
     G^(raw bits of a Montgomery sum):
       sigmaA = sum_pairs (r0*s0 + r1*s1);  sigma0 = sum r1*s0;  sigma1 = sum r0*s1
     where all products are Montgomery muls (so raw bits carry the extra R).
+
+    All round scalars are computed in ONE jit, then a single batched G1
+    scalar-mul produces every proof point — one heavy kernel dispatch per
+    opening instead of one per round.
     """
     n, r = t.shape[0], u_in.shape[0]
     assert n == (1 << r), (n, r)
-    round_points = []
-    d = dlogs
+    sigmas, final_scalar, final_dlog_exp = _me_open_fast_scalars(t, dlogs, u_in)
+    exps = jnp.concatenate([sigmas, final_dlog_exp[None]], axis=0)  # (3r+1, 8)
+    pts = g1.scalar_mul_jit(g1.generator((exps.shape[0],)), exps)
+    round_points = [
+        g1.G1Jac(pts.x[3 * i : 3 * i + 3], pts.y[3 * i : 3 * i + 3], pts.z[3 * i : 3 * i + 3])
+        for i in range(r)
+    ]
+    final_gen = g1.G1Jac(pts.x[3 * r], pts.y[3 * r], pts.z[3 * r])
+    return round_points, final_gen, final_scalar
+
+
+def _me_open_fast_scalars_body(t, d, u_in):
+    """All rounds' cross-term scalars (3r, 8), the final folded scalar, and the
+    final generator's *raw* dlog exponent."""
+    r = u_in.shape[0]
+    sigmas = []
     for i in range(r):
-        u = u_in[i]
+        ub = jnp.broadcast_to(u_in[i], t[0::2].shape)
         s0, s1 = t[0::2], t[1::2]
         d0, d1 = d[0::2], d[1::2]
-        sigmaA, sigma0, sigma1, t, d = _me_open_fast_round(s0, s1, d0, d1, u)
-        pts = g1.scalar_mul_jit(g1.generator((3,)), jnp.stack([sigmaA, sigma0, sigma1]))
-        round_points.append(pts)
-    final_gen_pt = g1.scalar_mul_jit(_gen_point(), fr.unmont(d[0:1]))
-    final_gen = g1.G1Jac(final_gen_pt.x[0], final_gen_pt.y[0], final_gen_pt.z[0])
-    return round_points, final_gen, t[0]
+        # cross-term scalars; exponents are the raw (Montgomery) bits of these sums
+        sigmas.append(fr_ops.fr_sum(fr.add(fr.mul(d0, s0), fr.mul(d1, s1))))
+        sigmas.append(fr_ops.fr_sum(fr.mul(d1, s0)))
+        sigmas.append(fr_ops.fr_sum(fr.mul(d0, s1)))
+        t = fr.add(s0, fr.mul(ub, fr.sub(s1, s0)))
+        # generators fold reversed by the *value* of u: r' = r1 + u(r0 - r1)
+        d = fr.add(d1, fr.mul(ub, fr.sub(d0, d1)))
+    return jnp.stack(sigmas), t[0], fr.unmont(d[0])
 
 
-@jax.jit
-def _me_open_fast_round(s0, s1, d0, d1, u):
-    ub = jnp.broadcast_to(u, s0.shape)
-    t_new = fr.add(s0, fr.mul(ub, fr.sub(s1, s0)))
-    # generators fold reversed by the *value* of u: r' = r1 + u(r0 - r1)
-    d_new = fr.add(d1, fr.mul(ub, fr.sub(d0, d1)))
-    # cross-term scalars; exponents are the raw (Montgomery) bits of these sums
-    sigmaA = fr_ops.fr_sum(fr.add(fr.mul(d0, s0), fr.mul(d1, s1)))
-    sigma0 = fr_ops.fr_sum(fr.mul(d1, s0))
-    sigma1 = fr_ops.fr_sum(fr.mul(d0, s1))
-    return sigmaA, sigma0, sigma1, t_new, d_new
+_me_open_fast_scalars = jax.jit(_me_open_fast_scalars_body)
 
 
 def me_open(t: jax.Array, gens: g1.G1Jac, u_in: jax.Array):
@@ -232,24 +242,45 @@ def open(gens: Generators, t: jax.Array, com: RowCommitments, u: jax.Array) -> O
     u_row = u[u.shape[0] - log_m :]
     u_in = u[: u.shape[0] - log_m]
 
-    t_folded = fr_ops.partial_me(t, u_row, gen_size) if log_m > 0 else t
-
     if gens.dlogs is not None and com.dlogs is not None:
-        # com(u_row) via dlog fold: sigma' = MLE of row dlogs at u_row
-        sig = com.dlogs
-        for i in range(log_m):
-            sig = fr_ops.me_step(sig, u_row[i])
-        com_pt = g1.scalar_mul_jit(_gen_point(), fr.unmont(sig[0:1]))
-        com_at = g1.G1Jac(com_pt.x[0], com_pt.y[0], com_pt.z[0])
-        round_points, final_gen, final_scalar = me_open_fast(t_folded, gens.dlogs, u_in)
-    else:
-        com_at = (
-            g1.me_eval(com.points, u_row)
-            if log_m > 0
-            else g1.G1Jac(com.points.x[0], com.points.y[0], com.points.z[0])
+        # Whole opening fused: scalar side in one jit, every G1 point (3 per
+        # round + final gen + com(u_row)) in ONE batched scalar-mul.
+        r = u_in.shape[0]
+        sigmas, final_scalar, final_dlog_exp, com_exp = _open_fast_scalars(
+            t, com.dlogs, gens.dlogs, u_row, u_in, gen_size
         )
-        round_points, final_gen, final_scalar = me_open(t_folded, gens.points, u_in)
+        exps = jnp.concatenate([sigmas, final_dlog_exp[None], com_exp[None]], axis=0)
+        pts = g1.scalar_mul_jit(g1.generator((exps.shape[0],)), exps)
+        round_points = [
+            g1.G1Jac(pts.x[3 * i : 3 * i + 3], pts.y[3 * i : 3 * i + 3], pts.z[3 * i : 3 * i + 3])
+            for i in range(r)
+        ]
+        final_gen = g1.G1Jac(pts.x[3 * r], pts.y[3 * r], pts.z[3 * r])
+        com_at = g1.G1Jac(pts.x[3 * r + 1], pts.y[3 * r + 1], pts.z[3 * r + 1])
+        return OpeningProof(com_at, round_points, final_gen, final_scalar)
+
+    t_folded = fr_ops.partial_me(t, u_row, gen_size) if log_m > 0 else t
+    com_at = (
+        g1.me_eval(com.points, u_row)
+        if log_m > 0
+        else g1.G1Jac(com.points.x[0], com.points.y[0], com.points.z[0])
+    )
+    round_points, final_gen, final_scalar = me_open(t_folded, gens.points, u_in)
     return OpeningProof(com_at, round_points, final_gen, final_scalar)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _open_fast_scalars(t, com_dlogs, gen_dlogs, u_row, u_in, gen_size):
+    """Scalar side of the full fast opening in one jit: fold t along u_row,
+    run all me_open rounds, and fold the row-commitment dlogs at u_row."""
+    t_folded = fr_ops.partial_me(t, u_row, gen_size) if u_row.shape[0] else t
+    sigmas, final_scalar, final_dlog_exp = _me_open_fast_scalars_body(
+        t_folded, gen_dlogs, u_in
+    )
+    sig = com_dlogs
+    for i in range(u_row.shape[0]):
+        sig = fr_ops.me_step(sig, u_row[i])
+    return sigmas, final_scalar, final_dlog_exp, fr.unmont(sig[0])
 
 
 # ---------------------------------------------------------------------------

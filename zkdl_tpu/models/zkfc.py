@@ -230,8 +230,11 @@ class ZkFCProof:
     opening: pedersen.OpeningProof
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7))
 def _fc_prove_core(X, W, Z, u_bs, u_in, u_out, in_size, out_size):
-    """Pieces dispatch internally-jitted per-round kernels (shape-shared)."""
+    """The whole per-layer sumcheck fused into ONE jit: all rounds (statically
+    halving shapes) trace inline — zero host round-trips per round, unlike the
+    reference's sync-per-kernel loop (proof.cu:84-93)."""
     X_folded = fr_ops.partial_me(X, u_bs, in_size) if u_bs.shape[0] else X
     W_folded = fr_ops.partial_me(W, u_out, 1)
     ip_polys, ip_finals = sc.inner_product_prove(X_folded, W_folded, u_in)

@@ -118,8 +118,10 @@ class ZkReluProof:
     hp_claim: jax.Array  # (8,) MLE of X (.) sign at u_hp
 
 
+@jax.jit
 def _prove_core(X, sign, mag_bin, rem_bin, u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp):
-    """Pieces dispatch internally-jitted per-round kernels (shape-shared)."""
+    """All three sumchecks of the layer fused into ONE jit (statically halving
+    shapes; zero per-round host round-trips)."""
     mag_polys, mag_final = sc.binary_prove(mag_bin, u_z, v_z)
     mag_bits_at_u = fr_ops.partial_me(mag_bin, u_rec, Q)
     rem_polys, rem_final = sc.binary_prove(rem_bin, u_r, v_r)
