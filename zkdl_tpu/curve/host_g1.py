@@ -82,7 +82,19 @@ def neg(p: JacPoint) -> JacPoint:
 
 
 def scalar_mul(p: JacPoint, k: int) -> JacPoint:
-    """LSB-first double-and-add, same orbit as G1Jacobian_mul (g1-tensor.cu:422)."""
+    """LSB-first double-and-add, same orbit as G1Jacobian_mul (g1-tensor.cu:422).
+
+    Dispatches to the native C++ backend (zkdl_tpu/native) when available —
+    ~100x the pure-Python path; identical group elements either way."""
+    from .. import native
+
+    res = native.g1_scalar_mul_batch([(p.x, p.y, p.z)], [int(k) & ((1 << 256) - 1)])
+    if res is not None:
+        return JacPoint(*res[0])
+    return _scalar_mul_py(p, k)
+
+
+def _scalar_mul_py(p: JacPoint, k: int) -> JacPoint:
     out = IDENTITY
     acc = p
     k = int(k)
