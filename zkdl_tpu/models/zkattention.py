@@ -1,0 +1,355 @@
+"""zkAttention: verifiable quantized single-head attention block (NEW).
+
+The reference proves only Linear+ReLU MLPs (/root/reference/README.md:12); this
+extends the GKR/sumcheck circuit family to an attention block (BASELINE.json
+config 5), reusing the framework's primitives end to end:
+
+  Q~ = rescale(X @ Wq)        K~ = rescale(X @ Wk)       V~ = rescale(X @ Wv)
+  S~ = rescale(Q~ @ K~^T)
+  P  = softmax-aux(S~ / sqrt(d))      # prover-supplied, row-stochastic at 2^16
+  O~ = rescale(P @ V~)
+  Y  = rescale(O~ @ Wo)
+
+Proof obligations per block (everything at fixed point, scale 2^16 between
+stages so the signed-48-bit invariant of zkrelu.cu:18 always holds):
+  1. Four committed-weight matmul sumchecks + Pedersen openings (zkfc.prove)
+     for Wq, Wk, Wv, Wo.
+  2. Two witness-witness matmul sumchecks (Q~K~^T and P V~) — the same
+     inner-product sumcheck, no opening (both operands are prover activations
+     whose claims chain into adjacent proofs).
+  3. Five zkRescale proofs (binary sumchecks + recombination + Hadamard).
+  4. Softmax well-formedness of P:
+     (a) range: every entry in [0, 2^16] via 17-bit decomposition — binary
+         sumcheck + recombination fold (zkReLU's mechanism, zkrelu.cu:91-94);
+     (b) normalization: every row sums to exactly 2^16 — the quantizer assigns
+         the rounding residual to the row's argmax, and padding rows are set to
+         2^16 * e_0, so the row-sum vector is the constant 2^16; proven by one
+         inner-product sumcheck of (P folded at u_row) against all-ones.
+     The remaining exp-consistency relation (P ~ exp(S)) is the known open
+     item for a lookup argument (sumcheck/lookup.py provides logUp; wiring a
+     chunked exp table through it is scheduled work) — state of the art
+     (zkLLM) uses exactly such table lookups.
+
+Layout conventions match zkFC: matrices are row-major flattened (rows*cols, 8)
+Montgomery tensors, dims padded to powers of two.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fr
+from ..sumcheck import protocols as sc
+from ..sumcheck.transcript import ChallengeSource
+from ..tensor import fr_ops
+from . import quantize, zkfc, zkrelu, zkrescale
+
+P_RANGE_BITS = 17  # P entries lie in [0, 2^16] — 17 bits cover the closed range
+
+
+# ---------------------------------------------------------------------------
+# softmax auxiliary-input generation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _softmax_aux_core(S: jax.Array, rows: int, cols: int, d_model: int):
+    """S: (rows*cols, 8) mont at scale 2^16 (signed). Returns P (rows*cols, 8)
+    mont at scale 2^16 with exact row sums of 2^16, plus raw u32 P values."""
+    from ..field import mp
+
+    x = fr.unmont(S)
+    pos = mp._gte(jnp.broadcast_to(jnp.asarray(zkrelu._POS_MAX), x.shape), x)
+    neg_mag = fr.neg(x)
+    lo = jnp.where(pos, x[:, 0], neg_mag[:, 0])
+    hi = jnp.where(pos, x[:, 1], neg_mag[:, 1])
+    mag = lo.astype(jnp.float32) + hi.astype(jnp.float32) * jnp.float32(2.0**32)
+    val = jnp.where(pos, mag, -mag) / jnp.float32(quantize.SCALE)
+    logits = (val / jnp.float32(np.sqrt(d_model))).reshape(rows, cols)
+
+    # stable softmax
+    mx = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+
+    q = jnp.floor(p * jnp.float32(quantize.SCALE)).astype(jnp.int32)  # (rows, cols)
+    resid = jnp.int32(quantize.SCALE) - jnp.sum(q, axis=1)  # >= 0
+    am = jnp.argmax(q, axis=1)
+    q = q + (jax.nn.one_hot(am, cols, dtype=jnp.int32) * resid[:, None])
+    q = q.astype(jnp.uint32)
+    P = fr.mont(fr_ops.from_u32(q.reshape(-1)))
+    return P, q
+
+
+def softmax_aux(S: jax.Array, rows: int, cols: int, d_model: int,
+                real_rows: int | None = None):
+    """Generate the prover's P. Padding rows (>= real_rows) are replaced by
+    2^16 * e_0 so every row of the padded matrix sums to exactly 2^16."""
+    P, q = _softmax_aux_core(S, rows, cols, d_model)
+    if real_rows is not None and real_rows < rows:
+        q = np.asarray(q)
+        q[real_rows:] = 0
+        q[real_rows:, 0] = quantize.SCALE
+        P = fr.mont(fr_ops.from_u32(jnp.asarray(q.reshape(-1))))
+    return P, np.asarray(q)
+
+
+@jax.jit
+def p_range_bits(P: jax.Array) -> jax.Array:
+    """17-bit LSB-first decomposition of P's raw values -> (n*17, 8) bit tensor
+    (field elements), for the binary sumcheck + recombination fold."""
+    n = P.shape[0]
+    vals = fr.unmont(P)[:, 0]  # entries < 2^17 live in limb 0
+    shifts = jnp.arange(P_RANGE_BITS, dtype=jnp.uint32)
+    bits = (vals[:, None] >> shifts) & jnp.uint32(1)
+    return fr.select(
+        (bits == 1).reshape(-1),
+        fr.ones_mont((n * P_RANGE_BITS,)),
+        fr.zeros((n * P_RANGE_BITS,)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# witness-witness matmul sumcheck (no commitment opening)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MatmulProof:
+    u_rows: jax.Array
+    u_k: jax.Array
+    u_cols: jax.Array
+    ip_polys: jax.Array  # (log k, 3, 8)
+    ip_finals: jax.Array  # (2, 8): A'(u_k), B'(u_k)
+    z_claim: jax.Array  # (8,) C(u_cols || u_rows)
+
+
+def matmul_prove(A: jax.Array, B: jax.Array, C: jax.Array,
+                 rows: int, k: int, cols: int, challenges: ChallengeSource) -> MatmulProof:
+    """Prove C = A @ B for prover-known A (rows x k) and B (k x cols), all
+    row-major flattened Montgomery tensors. Identical round structure to
+    zkFC::prove (zkfc.cu:128-145) minus the Pedersen opening."""
+    u_rows = challenges.random_vec(fr_ops.ceil_log2(rows))
+    u_k = challenges.random_vec(fr_ops.ceil_log2(k))
+    u_cols = challenges.random_vec(fr_ops.ceil_log2(cols))
+    ip_polys, ip_finals, z_claim = zkfc._fc_prove_core(
+        A, B, C, u_rows, u_k, u_cols, k, cols
+    )
+    challenges.absorb_array(ip_polys)
+    challenges.absorb_array(z_claim)
+    return MatmulProof(u_rows, u_k, u_cols, ip_polys, ip_finals, z_claim)
+
+
+def matmul_verify(proof: MatmulProof) -> tuple[bool, str]:
+    u_k = sc.scalars_to_ints(proof.u_k)
+    claim = sc.scalars_to_ints(proof.z_claim[None])[0]
+    res = sc.inner_product_verify(sc.polys_to_ints(proof.ip_polys), u_k, claim)
+    if not res.ok:
+        return False, res.reason
+    fa, fb = sc.scalars_to_ints(proof.ip_finals)
+    if not sc.inner_product_check_final(res, fa, fb):
+        return False, "final product mismatch"
+    return True, ""
+
+
+# ---------------------------------------------------------------------------
+# softmax well-formedness proof
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SoftmaxProof:
+    # range: binary sumcheck over the 17-bit decomposition + recombination fold
+    u_bin: jax.Array
+    v_bin: jax.Array
+    bin_polys: jax.Array
+    bin_final: jax.Array
+    u_rec: jax.Array
+    bits_at_u: jax.Array  # (17, 8) recombination claims
+    # normalization: <P(u_row, .), 1> == 2^16
+    u_row: jax.Array
+    u_col: jax.Array
+    ip_polys: jax.Array
+    ip_finals: jax.Array  # (2, 8): P'(u_col), 1
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _softmax_prove_core(P, bits, u_bin, v_bin, u_rec, u_row, u_col, cols):
+    bin_polys, bin_final = sc.binary_prove(bits, u_bin, v_bin)
+    bits_at_u = fr_ops.partial_me(bits, u_rec, P_RANGE_BITS)
+    P_row_folded = fr_ops.partial_me(P, u_row, cols)
+    ones = fr.ones_mont((cols,))
+    ip_polys, ip_finals = sc.inner_product_prove(P_row_folded, ones, u_col)
+    return bin_polys, bin_final, bits_at_u, ip_polys, ip_finals
+
+
+def softmax_prove(P: jax.Array, rows: int, cols: int, challenges: ChallengeSource) -> SoftmaxProof:
+    n = rows * cols
+    log_n = fr_ops.ceil_log2(n)
+    bits = p_range_bits(P)
+    u_bin = challenges.random_vec(log_n + 5)  # 16n < 17n <= 32n = 2^(log_n+5)
+    v_bin = challenges.random_vec(log_n + 5)
+    u_rec = challenges.random_vec(log_n)
+    u_row = challenges.random_vec(fr_ops.ceil_log2(rows))
+    u_col = challenges.random_vec(fr_ops.ceil_log2(cols))
+    bin_polys, bin_final, bits_at_u, ip_polys, ip_finals = _softmax_prove_core(
+        P, bits, u_bin, v_bin, u_rec, u_row, u_col, cols
+    )
+    proof = SoftmaxProof(u_bin, v_bin, bin_polys, bin_final, u_rec, bits_at_u,
+                         u_row, u_col, ip_polys, ip_finals)
+    challenges.absorb_array(bin_polys)
+    challenges.absorb_array(ip_polys)
+    return proof
+
+
+def softmax_verify(proof: SoftmaxProof) -> tuple[bool, str]:
+    from ..field import host
+
+    HF = host.fr
+    res = sc.binary_verify(
+        sc.polys_to_ints(proof.bin_polys),
+        sc.scalars_to_ints(proof.u_bin),
+        sc.scalars_to_ints(proof.v_bin),
+        sc.scalars_to_ints(proof.bin_final[None])[0],
+    )
+    if not res.ok:
+        return False, "range: " + res.reason
+    # normalization: the initial sum claim must be exactly mont(2^16)
+    want = HF.mont(quantize.SCALE)
+    res = sc.inner_product_verify(
+        sc.polys_to_ints(proof.ip_polys), sc.scalars_to_ints(proof.u_col), want
+    )
+    if not res.ok:
+        return False, "norm: " + res.reason
+    fa, fb = sc.scalars_to_ints(proof.ip_finals)
+    if fb != HF.one_mont:
+        return False, "norm: ones-vector final != 1"
+    if not sc.inner_product_check_final(res, fa, fb):
+        return False, "norm: final product mismatch"
+    return True, ""
+
+
+# ---------------------------------------------------------------------------
+# the attention block
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ZkAttention:
+    """Single-head attention block with committed projection weights.
+    seq and d_model must be powers of two (pad upstream like everything else)."""
+
+    seq: int
+    d_model: int
+    wq: zkfc.ZkFC
+    wk: zkfc.ZkFC
+    wv: zkfc.ZkFC
+    wo: zkfc.ZkFC
+
+    @classmethod
+    def from_float(cls, seq: int, wq: np.ndarray, wk: np.ndarray, wv: np.ndarray,
+                   wo: np.ndarray, key: jax.Array) -> "ZkAttention":
+        keys = jax.random.split(key, 4)
+        fcs = [zkfc.ZkFC.from_float(w, k) for w, k in zip((wq, wk, wv, wo), keys)]
+        d = fcs[0].in_size
+        assert all(f.in_size == d and f.out_size == d for f in fcs)
+        return cls(seq, d, *fcs)
+
+    def forward(self, X: jax.Array):
+        """X: (seq*d_model, 8) mont at scale 2^16. Returns (Y, trace dict with
+        every intermediate + rescale aux — the witness for prove())."""
+        s, d = self.seq, self.d_model
+        tr: dict = {"X": X}
+        Qr = self.wq(X); tr["Q_raw"] = Qr
+        Q, tr["q_aux"] = zkrescale.forward(Qr); tr["Q"] = Q
+        Kr = self.wk(X); tr["K_raw"] = Kr
+        K, tr["k_aux"] = zkrescale.forward(Kr); tr["K"] = K
+        Vr = self.wv(X); tr["V_raw"] = Vr
+        V, tr["v_aux"] = zkrescale.forward(Vr); tr["V"] = V
+
+        Kt = _transpose(K, s, d)
+        tr["Kt"] = Kt
+        # witness-witness matmul: S_raw = Q (s x d) @ K^T (d x s), scale 2^32
+        Sr = zkfc.field_matmul_jit(Q, Kt, d, s); tr["S_raw"] = Sr
+        S, tr["s_aux"] = zkrescale.forward(Sr); tr["S"] = S
+
+        P, q_raw = softmax_aux(S, s, s, d)
+        tr["P"] = P; tr["P_raw_vals"] = q_raw
+
+        Or = zkfc.field_matmul_jit(P, V, s, d); tr["O_raw"] = Or
+        O, tr["o_aux"] = zkrescale.forward(Or); tr["O"] = O
+
+        Yr = self.wo(O); tr["Y_raw"] = Yr
+        Y, tr["y_aux"] = zkrescale.forward(Yr); tr["Y"] = Y
+        return Y, tr
+
+    def prove(self, tr: dict, challenges: ChallengeSource) -> "ZkAttentionProof":
+        s, d = self.seq, self.d_model
+        fc_q = zkfc.prove(self.wq, tr["X"], tr["Q_raw"], challenges)
+        rs_q = zkrescale.prove(tr["Q_raw"], tr["q_aux"], challenges)
+        fc_k = zkfc.prove(self.wk, tr["X"], tr["K_raw"], challenges)
+        rs_k = zkrescale.prove(tr["K_raw"], tr["k_aux"], challenges)
+        fc_v = zkfc.prove(self.wv, tr["X"], tr["V_raw"], challenges)
+        rs_v = zkrescale.prove(tr["V_raw"], tr["v_aux"], challenges)
+        mm_s = matmul_prove(tr["Q"], tr["Kt"], tr["S_raw"], s, d, s, challenges)
+        rs_s = zkrescale.prove(tr["S_raw"], tr["s_aux"], challenges)
+        sm = softmax_prove(tr["P"], s, s, challenges)
+        mm_o = matmul_prove(tr["P"], tr["V"], tr["O_raw"], s, s, d, challenges)
+        rs_o = zkrescale.prove(tr["O_raw"], tr["o_aux"], challenges)
+        fc_y = zkfc.prove(self.wo, tr["O"], tr["Y_raw"], challenges)
+        rs_y = zkrescale.prove(tr["Y_raw"], tr["y_aux"], challenges)
+        return ZkAttentionProof(fc_q, rs_q, fc_k, rs_k, fc_v, rs_v,
+                                mm_s, rs_s, sm, mm_o, rs_o, fc_y, rs_y)
+
+    def verify(self, proof: "ZkAttentionProof") -> tuple[bool, str]:
+        checks = [
+            ("fc_q", lambda: zkfc.verify(self.wq.com, proof.fc_q)),
+            ("rs_q", lambda: zkrescale.verify(proof.rs_q)),
+            ("fc_k", lambda: zkfc.verify(self.wk.com, proof.fc_k)),
+            ("rs_k", lambda: zkrescale.verify(proof.rs_k)),
+            ("fc_v", lambda: zkfc.verify(self.wv.com, proof.fc_v)),
+            ("rs_v", lambda: zkrescale.verify(proof.rs_v)),
+            ("mm_s", lambda: matmul_verify(proof.mm_s)),
+            ("rs_s", lambda: zkrescale.verify(proof.rs_s)),
+            ("softmax", lambda: softmax_verify(proof.sm)),
+            ("mm_o", lambda: matmul_verify(proof.mm_o)),
+            ("rs_o", lambda: zkrescale.verify(proof.rs_o)),
+            ("fc_y", lambda: zkfc.verify(self.wo.com, proof.fc_y)),
+            ("rs_y", lambda: zkrescale.verify(proof.rs_y)),
+        ]
+        for name, check in checks:
+            ok, msg = check()
+            if not ok:
+                return False, f"{name}: {msg}"
+        return True, ""
+
+
+@dataclasses.dataclass
+class ZkAttentionProof:
+    fc_q: zkfc.ZkFCProof
+    rs_q: zkrelu.ZkReluProof
+    fc_k: zkfc.ZkFCProof
+    rs_k: zkrelu.ZkReluProof
+    fc_v: zkfc.ZkFCProof
+    rs_v: zkrelu.ZkReluProof
+    mm_s: MatmulProof
+    rs_s: zkrelu.ZkReluProof
+    sm: SoftmaxProof
+    mm_o: MatmulProof
+    rs_o: zkrelu.ZkReluProof
+    fc_y: zkfc.ZkFCProof
+    rs_y: zkrelu.ZkReluProof
+
+    def block_until_ready(self):
+        jax.block_until_ready(self.rs_y.hp_polys)
+        return self
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _transpose(M: jax.Array, rows: int, cols: int) -> jax.Array:
+    return M.reshape(rows, cols, 8).transpose(1, 0, 2).reshape(rows * cols, 8)

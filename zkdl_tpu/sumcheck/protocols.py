@@ -152,6 +152,139 @@ def binary_prove(a: jax.Array, u: jax.Array, v: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# scan-based provers (bit-identical streams, one compiled round body)
+# ---------------------------------------------------------------------------
+#
+# The unrolled provers above trace every round at its own (halving) shape —
+# semantically ideal, but the fused per-layer graphs grow with log^2(n) and XLA
+# compile time grows much faster than that. These variants run the round loop
+# as ONE lax.scan body at a fixed padded shape: after each fold the valid
+# prefix halves and the tail is zeros, which contribute nothing to any round
+# sum (0*0 pairs) and fold to zeros again — so the emitted proof stream is
+# bit-identical to the unrolled provers (asserted by tests). Compute cost is
+# O(n) per round instead of O(n/2^i), a ~log(n)/2 factor of extra VPU work the
+# TPU absorbs for a compile-time reduction of orders of magnitude.
+#
+# For the point-anchored variants the per-round MLE evaluation of the
+# coefficient tensors at the *shrinking* u-tail is done at fixed length by
+# evaluating the zero-padded tensor at [u[i+1:], 0, ..., 0]: folding at 0
+# selects the even branch, which after the real variables are consumed is
+# exactly index 0 — the true evaluation.
+
+
+def _fold_padded(t: jax.Array, x: jax.Array) -> jax.Array:
+    """(n, 8) -> (n, 8): fold pairs at x into the first n/2 slots, zero tail."""
+    n = t.shape[0]
+    p = t.reshape(n // 2, 2, 8)
+    a0, a1 = p[:, 0, :], p[:, 1, :]
+    folded = fr.add(a0, fr.mul(jnp.broadcast_to(x, a0.shape), fr.sub(a1, a0)))
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+
+
+def _me_eval_padded(c: jax.Array, tail: jax.Array) -> jax.Array:
+    """Evaluate the MLE of c ((m, 8), m = 2^k) at a fixed-length variable
+    vector tail ((k, 8)); trailing zero variables preserve index 0."""
+    for i in range(tail.shape[0]):
+        p = c.reshape(c.shape[0] // 2, 2, 8)
+        a0, a1 = p[:, 0, :], p[:, 1, :]
+        c = fr.add(a0, fr.mul(jnp.broadcast_to(tail[i], a0.shape), fr.sub(a1, a0)))
+    return c[0]
+
+
+def _tails(u: jax.Array) -> jax.Array:
+    """tails[i] = [u[i+1], ..., u[r-1], 0, ...] of fixed length r-1."""
+    r = u.shape[0]
+    if r <= 1:
+        return jnp.zeros((r, 0, 8), dtype=jnp.uint32)
+    rows = []
+    for i in range(r):
+        pad = jnp.zeros((i, 8), dtype=jnp.uint32)
+        rows.append(jnp.concatenate([u[i + 1 :], pad], axis=0))
+    return jnp.stack(rows)
+
+
+def inner_product_prove_scan(a: jax.Array, b: jax.Array, u: jax.Array):
+    """Scan-bodied inner_product_prove; identical proof stream."""
+    r = u.shape[0]
+    n = 1 << r
+    a = fr_ops.pad_to(a, n)
+    b = fr_ops.pad_to(b, n)
+    if r == 0:
+        return jnp.zeros((0, 3, 8), jnp.uint32), jnp.stack([a[0], b[0]])
+
+    def body(carry, x):
+        a, b = carry
+        pa = a.reshape(n // 2, 2, 8)
+        pb = b.reshape(n // 2, 2, 8)
+        a0, a1, b0, b1 = pa[:, 0], pa[:, 1], pb[:, 0], pb[:, 1]
+        da, db = fr.sub(a1, a0), fr.sub(b1, b0)
+        c0 = fr_ops.fr_sum(fr.mul(a0, b0))
+        c1 = fr_ops.fr_sum(fr.add(fr.mul(a0, db), fr.mul(b0, da)))
+        c2 = fr_ops.fr_sum(fr.mul(da, db))
+        xb = jnp.broadcast_to(x, a0.shape)
+        a_new = jnp.concatenate([fr.add(a0, fr.mul(xb, da)), jnp.zeros_like(a0)], axis=0)
+        b_new = jnp.concatenate([fr.add(b0, fr.mul(xb, db)), jnp.zeros_like(b0)], axis=0)
+        return (a_new, b_new), jnp.stack([c0, c1, c2])
+
+    (a, b), polys = jax.lax.scan(body, (a, b), u)
+    return polys, jnp.stack([a[0], b[0]])
+
+
+def hadamard_prove_scan(a: jax.Array, b: jax.Array, u: jax.Array, v: jax.Array):
+    """Scan-bodied hadamard_prove; identical proof stream."""
+    r = u.shape[0]
+    n = 1 << r
+    a = fr_ops.pad_to(a, n)
+    b = fr_ops.pad_to(b, n)
+    if r == 0:
+        return jnp.zeros((0, 3, 8), jnp.uint32), jnp.stack([a[0], b[0]])
+    tails = _tails(u)
+
+    def body(carry, xs):
+        a, b = carry
+        x, tail = xs
+        pa = a.reshape(n // 2, 2, 8)
+        pb = b.reshape(n // 2, 2, 8)
+        a0, a1, b0, b1 = pa[:, 0], pa[:, 1], pb[:, 0], pb[:, 1]
+        da, db = fr.sub(a1, a0), fr.sub(b1, b0)
+        c0 = _me_eval_padded(fr.mul(a0, b0), tail)
+        c1 = _me_eval_padded(fr.add(fr.mul(a0, db), fr.mul(b0, da)), tail)
+        c2 = _me_eval_padded(fr.mul(da, db), tail)
+        xb = jnp.broadcast_to(x, a0.shape)
+        a_new = jnp.concatenate([fr.add(a0, fr.mul(xb, da)), jnp.zeros_like(a0)], axis=0)
+        b_new = jnp.concatenate([fr.add(b0, fr.mul(xb, db)), jnp.zeros_like(b0)], axis=0)
+        return (a_new, b_new), jnp.stack([c0, c1, c2])
+
+    (a, b), polys = jax.lax.scan(body, (a, b), (v, tails))
+    return polys, jnp.stack([a[0], b[0]])
+
+
+def binary_prove_scan(a: jax.Array, u: jax.Array, v: jax.Array):
+    """Scan-bodied binary_prove; identical proof stream."""
+    r = u.shape[0]
+    n = 1 << r
+    a = fr_ops.pad_to(a, n)
+    if r == 0:
+        return jnp.zeros((0, 3, 8), jnp.uint32), a[0]
+    tails = _tails(u)
+
+    def body(a, xs):
+        x, tail = xs
+        pa = a.reshape(n // 2, 2, 8)
+        a0, a1 = pa[:, 0], pa[:, 1]
+        d = fr.sub(a1, a0)
+        c0 = _me_eval_padded(fr.sub(fr.mul(a0, a0), a0), tail)
+        c1 = _me_eval_padded(fr.sub(fr.mul(fr.double(a0), d), d), tail)
+        c2 = _me_eval_padded(fr.mul(d, d), tail)
+        xb = jnp.broadcast_to(x, a0.shape)
+        a_new = jnp.concatenate([fr.add(a0, fr.mul(xb, d)), jnp.zeros_like(a0)], axis=0)
+        return a_new, jnp.stack([c0, c1, c2])
+
+    a, polys = jax.lax.scan(body, a, (v, tails))
+    return polys, a[0]
+
+
+# ---------------------------------------------------------------------------
 # verifiers (host python ints; Montgomery-form values)
 # ---------------------------------------------------------------------------
 
