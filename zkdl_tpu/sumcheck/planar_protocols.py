@@ -1,0 +1,273 @@
+"""Planar sumcheck provers: full-lane-width rounds, eq-table evals, bit tricks.
+
+Same protocols and bit-identical proof streams as protocols.py (asserted by
+tests), re-engineered for TPU throughput:
+
+- Tensors live in bit-reversed planar storage ((8, n); see tensor/planar_ops.py)
+  so every round combines contiguous halves; the heavy ops are the Pallas
+  kernels of field/pallas_fr.py.
+- The point-anchored variants (hadamard/binary) evaluate round coefficients as
+  ONE lazy dot against a prefix of a single precomputed eq table, rescaled by a
+  running product of (1-u_i)^-1 — replacing the reference's per-round O(n)
+  fold-chain evaluations (proof.cu:110-188) with ~1 mul/element. The inverse
+  products are computed host-side (challenges are transcript outputs and exist
+  on the host first); a challenge with u_i == 1 would only yield an invalid
+  proof (prob ~2^-255), never an unsound acceptance.
+- Binary round 0 operates on PACKED BITS and is multiplication-free: for bit
+  inputs the round polynomial collapses to c0 = 0, c1 = -c2,
+  c2 = sum_{pairs with a0 != a1} eq-weight (a masked lazy sum), and the fold
+  output is a 4-way select among {0, 1, v, 1-v}.
+- Hadamard round 0 exploits the bit-valued sign operand the same way.
+- Large rounds run as per-shape jitted kernels (compile cache shared across
+  layers and across the three protocols); once a tensor is down to TAIL_N
+  elements the remaining rounds run as the (n, 8) scan provers of protocols.py
+  (one fused jit, fixed shapes).
+
+Challenge layout, round order, and emitted (c0, c1, c2) streams match
+protocols.py exactly, so the host verifiers there apply unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fr, host, pallas_fr as pf, planar
+from ..tensor import planar_ops as pops
+from . import protocols as sc
+
+HF = host.fr
+
+# below this many elements the per-round dispatch latency dominates: hand the
+# tensor to the fused (n, 8) scan provers.
+TAIL_N = 1024
+
+
+def host_scales(u) -> jax.Array:
+    """scale[i] = prod_{1<=j<=i} (1-u[j])^-1 (Montgomery ints) for
+    i in 0..len(u)-2, computed host-side. Returns (len(u)-1, 8) limbs."""
+    u_ints = fr.to_ints(np.asarray(u))
+    one = HF.one_mont
+    s = one
+    out = [one]
+    for j in range(1, len(u_ints)):
+        d = HF.sub(one, u_ints[j])
+        d_val = HF.from_mont_int(d)
+        inv_val = pow(d_val, -1, fr.P_INT) if d_val else 0
+        s = HF.mul(s, HF.to_mont_int(inv_val))
+        out.append(s)
+    from ..field import mp
+
+    return jnp.asarray(np.stack([mp.limbs_from_int(x, 8) for x in out]))
+
+
+# ---------------------------------------------------------------------------
+# per-round kernels (jitted; compile cache keyed by shape)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _ip_round(a, b, x):
+    """a, b: (8, n) bit-rev planar. Emits summed (c0, c1, c2) and folded halves."""
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = b[:, :h], b[:, h:]
+    da = planar.sub(a1, a0)
+    db = planar.sub(b1, b0)
+    dots = pf.dot_many([(a0, b0), (a0, db), (b0, da), (da, db)])  # (8, 4)
+    c0 = dots[:, 0]
+    c1 = planar.add(dots[:, 1], dots[:, 2])
+    c2 = dots[:, 3]
+    a_n = planar.add(a0, pf.mul_scalar(da, x))
+    b_n = planar.add(b0, pf.mul_scalar(db, x))
+    return jnp.stack([c0, c1, c2]), a_n, b_n
+
+
+@jax.jit
+def _bin_round(a, w, scale, x):
+    """General binary round: a (8, n); w = eq-table prefix (8, n/2); scale (8,)
+    corrects the table's accumulated (1-u_j) factors; x = fold challenge."""
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    d = planar.sub(a1, a0)
+    aw = pf.mul(a0, w)
+    dw = pf.mul(d, w)
+    # c0 = sum (a0^2 - a0) w ; c1 = sum (2 a0 - 1) d w ; c2 = sum d^2 w
+    dots = pf.dot_many([(a0, aw), (d, aw), (d, dw)])
+    c0 = planar.sub(dots[:, 0], planar.lazy_sum(aw))
+    c1 = planar.sub(planar.double(dots[:, 1]), planar.lazy_sum(dw))
+    c2 = dots[:, 2]
+    polys = planar.mul(jnp.stack([c0, c1, c2], axis=1), jnp.broadcast_to(scale[:, None], (8, 3)))
+    a_n = planar.add(a0, pf.mul_scalar(d, x))
+    return jnp.swapaxes(polys, 0, 1), a_n  # (3, 8)
+
+
+@jax.jit
+def _bin_round0_bits(bits, w, x):
+    """Mul-free binary round 0 on packed bits.
+
+    bits: (n,) uint32 0/1, bit-reversed storage; w: (8, n/2) eq table of u[1:];
+    x: fold challenge v[0]. Returns ((3, 8) polys, folded (8, n/2) planar).
+    For bit inputs: c0 = 0; c2 = sum_{a0 != a1} w; c1 = -c2; the fold is a
+    4-way select among {0, mont(1), x, mont(1)-x}.
+    """
+    h = bits.shape[0] // 2
+    b0, b1 = bits[:h] != 0, bits[h:] != 0
+    neq = b0 != b1
+    c2 = planar.masked_sum(neq, w)
+    c1 = planar.neg(c2[:, None])[:, 0]
+    c0 = jnp.zeros_like(c2)
+    folded = _fold_bits(b0, b1, neq, x, h)
+    return jnp.stack([c0, c1, c2]), folded
+
+
+def _fold_bits(b0, b1, neq, x, h):
+    one = planar.ones_mont(1)[:, 0]
+    one_minus_x = planar.sub(one[:, None], x[:, None])[:, 0]
+    hi_val = planar.select(b1, _bcast(x, h), _bcast(one_minus_x, h))
+    eqv = planar.select(b0, _bcast(one, h), jnp.zeros((8, h), jnp.uint32))
+    return planar.select(neq, hi_val, eqv)
+
+
+@jax.jit
+def _hp_round(a, b, w, scale, x):
+    """General hadamard round: a, b (8, n); w (8, n/2); fold challenge x."""
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = b[:, :h], b[:, h:]
+    da = planar.sub(a1, a0)
+    db = planar.sub(b1, b0)
+    bw = pf.mul(b0, w)
+    dbw = pf.mul(db, w)
+    dots = pf.dot_many([(a0, bw), (da, bw), (a0, dbw), (da, dbw)])
+    c0 = dots[:, 0]
+    c1 = planar.add(dots[:, 1], dots[:, 2])
+    c2 = dots[:, 3]
+    polys = planar.mul(jnp.stack([c0, c1, c2], axis=1), jnp.broadcast_to(scale[:, None], (8, 3)))
+    a_n = planar.add(a0, pf.mul_scalar(da, x))
+    b_n = planar.add(b0, pf.mul_scalar(db, x))
+    return jnp.swapaxes(polys, 0, 1), a_n, b_n
+
+
+@jax.jit
+def _hp_round0_bits(a, bits, w, x):
+    """Hadamard round 0 with a bit-valued b operand (e.g. the ReLU sign tensor):
+    all Montgomery muls against b collapse to selects; only the three lazy dots
+    against the eq table remain."""
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = bits[:h] != 0, bits[h:] != 0
+    da = planar.sub(a1, a0)
+    neq = b0 != b1
+    zero = jnp.zeros_like(a0)
+    # c0 = sum a0*b0*w ; c1 = sum (a0*db + b0*da)*w ; c2 = sum da*db*w
+    a0db = planar.select(neq, planar.select(b1, a0, planar.neg(a0)), zero)
+    dadb = planar.select(neq, planar.select(b1, da, planar.neg(da)), zero)
+    dots = pf.dot_many(
+        [
+            (planar.select(b0, a0, zero), w),
+            (planar.add(a0db, planar.select(b0, da, zero)), w),
+            (dadb, w),
+        ]
+    )
+    b_n = _fold_bits(b0, b1, neq, x, h)
+    a_n = planar.add(a0, pf.mul_scalar(da, x))
+    return jnp.swapaxes(dots, 0, 1), a_n, b_n
+
+
+def _bcast(s, n):
+    return jnp.broadcast_to(s[:, None], (8, n))
+
+
+@jax.jit
+def _eq_table(u_tail):
+    """eq table of u_tail in bit-reversed storage -> (8, 2^len)."""
+    return pops.eq_table_rev(u_tail)
+
+
+# ---------------------------------------------------------------------------
+# prover orchestrators
+# ---------------------------------------------------------------------------
+
+
+def inner_product_prove(a_rev, b_rev, u):
+    """a_rev, b_rev: (8, 2^r) bit-reversed planar; u: (r, 8).
+
+    Emits the same (polys (r, 3, 8), finals (2, 8)) stream as
+    protocols.inner_product_prove on the unreversed (n, 8) tensors.
+    """
+    r = u.shape[0]
+    n = a_rev.shape[1]
+    assert n == (1 << r), (n, r)
+    polys = []
+    i = 0
+    while a_rev.shape[1] > TAIL_N:
+        p, a_rev, b_rev = _ip_round(a_rev, b_rev, u[i])
+        polys.append(p)
+        i += 1
+    if i < r:
+        a_t = pops.from_planar_rev(a_rev)
+        b_t = pops.from_planar_rev(b_rev)
+        tail_polys, finals = sc.inner_product_prove_scan(a_t, b_t, u[i:])
+        polys_arr = jnp.concatenate([jnp.stack(polys), tail_polys]) if polys else tail_polys
+        return polys_arr, finals
+    finals = jnp.stack([a_rev[:, 0], b_rev[:, 0]])
+    return jnp.stack(polys), finals
+
+
+def binary_prove_bits(bits_rev, u, v):
+    """Binary sumcheck directly on packed bits.
+
+    bits_rev: (2^r,) uint32 0/1 in bit-reversed storage; u, v: (r, 8).
+    Stream-identical to protocols.binary_prove on the mont bit tensor.
+    """
+    r = u.shape[0]
+    n = bits_rev.shape[0]
+    assert n == (1 << r), (n, r)
+    table = _eq_table(u[1:])
+    scales = host_scales(u)
+    polys = []
+    p0, a_rev = _bin_round0_bits(bits_rev, table, v[0])
+    polys.append(p0)
+    i = 1
+    while a_rev.shape[1] > TAIL_N and i < r:
+        p, a_rev = _bin_round(a_rev, table[:, : a_rev.shape[1] // 2], scales[i], v[i])
+        polys.append(p)
+        i += 1
+    if i < r:
+        a_t = pops.from_planar_rev(a_rev)
+        tail_polys, final = sc.binary_prove_scan(a_t, u[i:], v[i:])
+        return jnp.concatenate([jnp.stack(polys), tail_polys]), final
+    return jnp.stack(polys), a_rev[:, 0]
+
+
+def hadamard_prove_bits(a_rev, bits_rev, u, v):
+    """Hadamard sumcheck of a (.) b where b is bit-valued (packed).
+
+    a_rev: (8, 2^r) planar bit-rev; bits_rev: (2^r,) 0/1; u, v: (r, 8).
+    Stream-identical to protocols.hadamard_prove(a, mont_bits, u, v).
+    """
+    r = u.shape[0]
+    n = a_rev.shape[1]
+    assert n == (1 << r) and bits_rev.shape[0] == n, (n, r)
+    table = _eq_table(u[1:])
+    scales = host_scales(u)
+    polys = []
+    p0, a_rev, b_rev = _hp_round0_bits(a_rev, bits_rev, table, v[0])
+    polys.append(p0)
+    i = 1
+    while a_rev.shape[1] > TAIL_N and i < r:
+        p, a_rev, b_rev = _hp_round(
+            a_rev, b_rev, table[:, : a_rev.shape[1] // 2], scales[i], v[i]
+        )
+        polys.append(p)
+        i += 1
+    if i < r:
+        a_t = pops.from_planar_rev(a_rev)
+        b_t = pops.from_planar_rev(b_rev)
+        tail_polys, finals = sc.hadamard_prove_scan(a_t, b_t, u[i:], v[i:])
+        return jnp.concatenate([jnp.stack(polys), tail_polys]), finals
+    return jnp.stack(polys), jnp.stack([a_rev[:, 0], b_rev[:, 0]])
