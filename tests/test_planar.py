@@ -9,6 +9,14 @@ from zkdl_tpu.field import fr, planar
 from zkdl_tpu.tensor import fr_ops
 
 
+@pytest.fixture(autouse=True)
+def force_digit_path(monkeypatch):
+    # On CPU the public ops fall back to mp.py; these tests target the
+    # digit-planar implementations themselves, so force them. Fresh jax.jit
+    # wrappers are used everywhere below, so no stale jit caches are hit.
+    monkeypatch.setattr(planar, "FORCE_XLA_PLANAR", True)
+
+
 @pytest.fixture(scope="module")
 def vecs():
     key = jax.random.PRNGKey(7)

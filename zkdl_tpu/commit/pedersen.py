@@ -269,6 +269,80 @@ def open(gens: Generators, t: jax.Array, com: RowCommitments, u: jax.Array) -> O
     return OpeningProof(com_at, round_points, final_gen, final_scalar)
 
 
+def open_planar(gens: Generators, t: jax.Array, com: RowCommitments, u: jax.Array) -> OpeningProof:
+    """Planar/pallas fast-path opening; proof identical to open() (tests
+    assert). Requires the transparent setup (dlogs present)."""
+    if gens.dlogs is None or com.dlogs is None:
+        return open(gens, t, com, u)
+    gen_size = gens.size
+    m = com.points.x.shape[0]
+    log_m = fr_ops.ceil_log2(m)
+    assert gen_size == (1 << (u.shape[0] - log_m)), (gen_size, u.shape, log_m)
+    u_row = u[u.shape[0] - log_m :]
+    u_in = u[: u.shape[0] - log_m]
+    r = u_in.shape[0]
+    sigmas, final_scalar, final_dlog_exp, com_exp = _open_planar_scalars(
+        t, com.dlogs, gens.dlogs, u_row, u_in, gen_size
+    )
+    exps = jnp.concatenate([sigmas, final_dlog_exp[None], com_exp[None]], axis=0)
+    pts = g1.scalar_mul_jit(g1.generator((exps.shape[0],)), exps)
+    round_points = [
+        g1.G1Jac(pts.x[3 * i : 3 * i + 3], pts.y[3 * i : 3 * i + 3], pts.z[3 * i : 3 * i + 3])
+        for i in range(r)
+    ]
+    final_gen = g1.G1Jac(pts.x[3 * r], pts.y[3 * r], pts.z[3 * r])
+    com_at = g1.G1Jac(pts.x[3 * r + 1], pts.y[3 * r + 1], pts.z[3 * r + 1])
+    return OpeningProof(com_at, round_points, final_gen, final_scalar)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _open_planar_scalars(t, com_dlogs, gen_dlogs, u_row, u_in, gen_size):
+    """Planar scalar side of the opening, one dispatch.
+
+    The u_row fold of t is ONE eq-weighted contraction over the row axis
+    (instead of log_m fold passes); the me_open split-and-fold rounds run on
+    bit-reversed planar halves with lazy pallas dots for the three cross-term
+    sums per round (me_open_step, commitment.cu:43-60). Emits the exact same
+    scalar stream as _open_fast_scalars.
+    """
+    from ..field import pallas_fr as pf, planar
+    from ..tensor import planar_ops as pops
+
+    m = t.shape[0] // gen_size
+    lm = fr_ops.ceil_log2(m)
+    t3 = t.reshape(m, gen_size, 8)
+    if m < (1 << lm):
+        t3 = fr_ops.pad_to(t3, 1 << lm)
+    tp = jnp.transpose(t3, (2, 1, 0))  # (8, G, M2)
+    tp = pops.bitrev_axis(tp, axis=1)
+    if lm:
+        row_table = pops.eq_table(u_row)
+        t_f = planar.dot(tp, row_table[:, None, :])  # (8, G) bit-rev
+        com_sig = planar.dot(planar.to_planar(fr_ops.pad_to(com_dlogs, 1 << lm)), row_table)
+    else:
+        t_f = tp[:, :, 0]
+        com_sig = planar.to_planar(com_dlogs)[:, 0]
+    d = pops.bitrev_axis(planar.to_planar(gen_dlogs), axis=1)  # (8, G) bit-rev
+
+    sigmas = []
+    for i in range(u_in.shape[0]):
+        h = t_f.shape[1] // 2
+        s0, s1 = t_f[:, :h], t_f[:, h:]
+        d0, d1 = d[:, :h], d[:, h:]
+        dots = pf.dot_many([(d0, s0), (d1, s1), (d1, s0), (d0, s1)])  # (8, 4)
+        sigmas.append(planar.add(dots[:, 0], dots[:, 1]))
+        sigmas.append(dots[:, 2])
+        sigmas.append(dots[:, 3])
+        x = u_in[i]
+        t_f = planar.add(s0, pf.mul_scalar(planar.sub(s1, s0), x))
+        d = planar.add(d1, pf.mul_scalar(planar.sub(d0, d1), x))
+    final_scalar = t_f[:, 0]
+    final_dlog_exp = planar.from_mont(d[:, 0:1])[:, 0]
+    com_exp = planar.from_mont(com_sig[:, None])[:, 0]
+    sig_arr = jnp.stack(sigmas) if sigmas else jnp.zeros((0, 8), jnp.uint32)
+    return sig_arr, final_scalar, final_dlog_exp, com_exp
+
+
 @functools.partial(jax.jit, static_argnums=(5,))
 def _open_fast_scalars(t, com_dlogs, gen_dlogs, u_row, u_in, gen_size):
     """Scalar side of the full fast opening in one jit: fold t along u_row,

@@ -204,11 +204,11 @@ def _dot_cols_kernel(a_ref, b_ref, o_ref):
         for j in range(N_DIGITS):
             k = i + j
             p = ad[i] * bd[j]  # (rows, 128)
-            lo = jnp.sum(p & MASK16, axis=0, dtype=jnp.uint32)  # (128,) < 2^22
-            hi = jnp.sum(p >> 16, axis=0, dtype=jnp.uint32)
+            lo = jnp.sum(p & MASK16, axis=0, keepdims=True, dtype=jnp.uint32)  # (1, 128) < 2^22
+            hi = jnp.sum(p >> 16, axis=0, keepdims=True, dtype=jnp.uint32)
             cols[k] = lo if cols[k] is None else cols[k] + lo
             cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
-    z = jnp.zeros((128,), dtype=jnp.uint32)
+    z = jnp.zeros((1, 128), dtype=jnp.uint32)
     cols = [c if c is not None else z for c in cols]
     acc = []
     for k in range(ACC_ROWS):
@@ -218,7 +218,7 @@ def _dot_cols_kernel(a_ref, b_ref, o_ref):
         if k >= 1:
             v = v + (cols[k - 1] >> 16)
         acc.append(v)
-    o_ref[...] = o_ref[...] + jnp.stack(acc)
+    o_ref[...] = o_ref[...] + jnp.concatenate(acc, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -197,8 +197,28 @@ def double(a: jax.Array) -> jax.Array:
     return add(a, a)
 
 
+# On non-TPU backends the digit-planar graphs compile far too slowly under
+# XLA:CPU (minutes per op instance); the heavy public ops below fall back to
+# the mp.py implementations via a layout swap — bit-identical results (both
+# asserted against each other in tests). Set FORCE_XLA_PLANAR to exercise the
+# digit path on CPU (small sizes only).
+FORCE_XLA_PLANAR = False
+
+
+def _digit_path() -> bool:
+    return FORCE_XLA_PLANAR or jax.default_backend() == "tpu"
+
+
+def _via_mp(fn, *planar_args) -> jax.Array:
+    args = [jnp.swapaxes(x, 0, -1) if x.shape[0] == N_LIMBS else x for x in planar_args]
+    out = fn(*args)
+    return jnp.swapaxes(out, 0, -1)
+
+
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Montgomery product a*b*R^-1 mod p, planar. Bit-identical to fr.mul."""
+    if not _digit_path():
+        return _via_mp(lambda x, y: mp.mont_mul(SPEC, x, y), a, b)
     ad = _to_digits(a)
     bd = _to_digits(b)
     return _mul_digits(ad, bd)
@@ -253,6 +273,36 @@ def mul_scalar(a: jax.Array, s: jax.Array) -> jax.Array:
     return mul(a, sb)
 
 
+def _dot_via_mp(a: jax.Array, b: jax.Array) -> jax.Array:
+    """CPU fallback for dot: elementwise mont_mul + modular pairwise tree over
+    the contraction axis, in (..., 8) layout (compact, well-cached graphs)."""
+    a2 = jnp.moveaxis(a, 0, -1)  # (*batch, n, 8)
+    b2 = jnp.moveaxis(b, 0, -1)
+    prod = mp.mont_mul(SPEC, a2, b2)
+    while prod.shape[-2] > 1:
+        m = prod.shape[-2]
+        if m % 2:
+            padw = [(0, 0)] * prod.ndim
+            padw[-2] = (0, 1)
+            prod = jnp.pad(prod, padw)
+        prod = mp.mod_add(SPEC, prod[..., 0::2, :], prod[..., 1::2, :])
+    return jnp.moveaxis(prod[..., 0, :], -1, 0)
+
+
+def _masked_sum_via_mp(mask: jax.Array, w: jax.Array) -> jax.Array:
+    w = jnp.broadcast_to(w, (N_LIMBS, *mask.shape))
+    w2 = jnp.moveaxis(w, 0, -1)  # (*batch, n, 8)
+    sel = jnp.where(mask[..., None], w2, 0)
+    while sel.shape[-2] > 1:
+        m = sel.shape[-2]
+        if m % 2:
+            padw = [(0, 0)] * sel.ndim
+            padw[-2] = (0, 1)
+            sel = jnp.pad(sel, padw)
+        sel = mp.mod_add(SPEC, sel[..., 0::2, :], sel[..., 1::2, :])
+    return jnp.moveaxis(sel[..., 0, :], -1, 0)
+
+
 def select(pred: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
     """pred: (n,) bool -> where(pred, a, b) over (8, n)."""
     return jnp.where(pred[None, :], a, b)
@@ -284,6 +334,8 @@ def dot(a: jax.Array, b: jax.Array) -> jax.Array:
     batch = a.shape[1:-1]
     if n == 0:
         return jnp.zeros((N_LIMBS, *batch), dtype=jnp.uint32)
+    if not _digit_path():
+        return _dot_via_mp(a, b)
     c = min(DOT_CHUNK, _next_pow2(n))
     pad = (-n) % c
     if pad:
@@ -376,6 +428,8 @@ def masked_sum(mask: jax.Array, w: jax.Array) -> jax.Array:
     batch = w.shape[1:-1]
     if n == 0:
         return jnp.zeros((N_LIMBS, *batch), dtype=jnp.uint32)
+    if not _digit_path():
+        return _masked_sum_via_mp(mask, w)
     c = min(DOT_CHUNK, _next_pow2(n))
     pad = (-n) % c
     if pad:
@@ -408,7 +462,8 @@ def lazy_sum(w: jax.Array) -> jax.Array:
 
 def to_mont(a: jax.Array) -> jax.Array:
     """a -> a*R mod p, planar (8, n)."""
-    r2 = jnp.asarray(mp.limbs_from_int(SPEC.r2, N_LIMBS))[:, None]
+    shape = (N_LIMBS,) + (1,) * (a.ndim - 1)
+    r2 = jnp.asarray(mp.limbs_from_int(SPEC.r2, N_LIMBS)).reshape(shape)
     return mul(a, jnp.broadcast_to(r2, a.shape))
 
 

@@ -24,6 +24,11 @@ from ..sumcheck.transcript import ChallengeSource, FiatShamir
 from ..tensor import fr_ops
 from . import zkfc, zkrelu
 
+# Planar/pallas prover path (bit-reversed storage + lazy-reduction pallas
+# kernels): identical proof streams, ~15x the field throughput on TPU. The
+# (n, 8) path remains for cross-validation and as the tail/small-size engine.
+USE_PLANAR_PROVER = True
+
 
 @dataclasses.dataclass
 class MLP:
@@ -49,12 +54,16 @@ class MLP:
         """X: (batch*in, 8) Montgomery. Returns (Y_hat, Z_list, A_list, aux_list).
 
         Z_list[i] are pre-activations, A_list[i] post-activations
-        (fcnn_inference, demo.cu:23-38)."""
+        (fcnn_inference, demo.cu:23-38). With the planar prover the aux
+        witnesses are kept compact (one u32 per element per tensor instead of
+        Montgomery bit tensors — the 18M-param model's aux would otherwise
+        exceed HBM)."""
         Z_list, A_list, aux_list = [], [], []
+        relu_fwd = zkrelu.forward_compact if USE_PLANAR_PROVER else zkrelu.forward
         A = X
         for i, layer in enumerate(self.layers[:-1]):
             Z = layer(A)
-            A, aux = zkrelu.forward(Z)
+            A, aux = relu_fwd(Z)
             Z_list.append(Z)
             A_list.append(A)
             aux_list.append(aux)
@@ -65,14 +74,16 @@ class MLP:
         """Backwards proving loop (demo.cu:128-137). Returns MLPProof."""
         if challenges is None:
             challenges = FiatShamir()
+        fc_prove = zkfc.prove_planar if USE_PLANAR_PROVER else zkfc.prove
+        relu_prove = zkrelu.prove_planar if USE_PLANAR_PROVER else zkrelu.prove
         n = len(self.layers)
         fc_proofs: list = [None] * n
         relu_proofs: list = [None] * (n - 1)
-        fc_proofs[n - 1] = zkfc.prove(self.layers[n - 1], A_list[n - 2] if n >= 2 else X, Y_hat, challenges)
+        fc_proofs[n - 1] = fc_prove(self.layers[n - 1], A_list[n - 2] if n >= 2 else X, Y_hat, challenges)
         for i in range(n - 2, -1, -1):
-            relu_proofs[i] = zkrelu.prove(Z_list[i], aux_list[i], challenges)
+            relu_proofs[i] = relu_prove(Z_list[i], aux_list[i], challenges)
             A_prev = A_list[i - 1] if i > 0 else X
-            fc_proofs[i] = zkfc.prove(self.layers[i], A_prev, Z_list[i], challenges)
+            fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges)
         return MLPProof(fc_proofs, relu_proofs)
 
     def verify(self, proof: "MLPProof") -> tuple[bool, str]:
@@ -94,11 +105,15 @@ class MLPProof:
     relu_proofs: list
 
     def block_until_ready(self):
+        """True completion barrier. block_until_ready alone is unreliable over
+        remote-device tunnels (observed: returns before execution), so force a
+        tiny host readback of the last-produced leaf of every layer proof —
+        device queues are in-order, so this fences everything before it."""
         for p in self.fc_proofs:
-            jax.block_until_ready(p.ip_polys)
-            jax.block_until_ready(p.opening.final_scalar)
+            np.asarray(p.opening.final_scalar)
+            np.asarray(p.opening.final_gen.x)  # G1 batch is the layer's last dispatch
         for p in self.relu_proofs:
-            jax.block_until_ready(p.hp_polys)
+            np.asarray(p.hp_polys[-1])
         return self
 
 

@@ -242,6 +242,42 @@ def _fc_prove_core(X, W, Z, u_bs, u_in, u_out, in_size, out_size):
     return ip_polys, ip_finals, z_claim
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _fc_prep_planar(X, W, Z, u_bs, u_in, u_out, in_size, out_size):
+    """Planar prep for the matmul sumcheck, one dispatch.
+
+    The reference folds X along the batch axis and W along the output axis one
+    challenge at a time (zkfc.cu:138-140, O(2n) muls); here each multi-variable
+    fold IS a single eq-weighted contraction: fold(T, u) == T . eq_table(u)
+    along the folded axis (O(n) lazy-dot muls, one pass). Likewise the output
+    claim Z(u_out || u_bs) is one weighted sum over the flat tensor — sums are
+    order-independent so no bit reversal is needed; only the inner-product
+    operands (consumed by halving rounds) come out bit-reversed.
+    """
+    from ..field import planar
+    from ..tensor import planar_ops as pops
+
+    batch = X.shape[0] // in_size
+    lb = fr_ops.ceil_log2(batch)
+    B2 = 1 << lb
+    # X: (batch*in, 8) -> planar (8, I, B2) with the in-axis bit-reversed
+    X3 = fr_ops.pad_to(X.reshape(batch, in_size, 8), B2) if batch < B2 else X.reshape(batch, in_size, 8)
+    Xp = jnp.transpose(X3, (2, 1, 0))  # (8, I, B2)
+    Xp = pops.bitrev_axis(Xp, axis=1)
+    X_folded = planar.dot(Xp, pops.eq_table(u_bs)[:, None, :]) if lb else Xp[:, :, 0]
+
+    # W: (in*out, 8) -> (8, I, O); fold the out axis (lowest index bits first)
+    Wp = jnp.transpose(W.reshape(in_size, out_size, 8), (2, 0, 1))
+    Wp = pops.bitrev_axis(Wp, axis=1)
+    W_folded = planar.dot(Wp, pops.eq_table(u_out)[:, None, :])  # (8, I) bit-rev
+
+    # Z claim: one weighted sum over the padded flat tensor, plain order
+    u_full = jnp.concatenate([u_out, u_bs], axis=0)
+    Zp = planar.to_planar(fr_ops.pad_to(Z, 1 << u_full.shape[0]))
+    z_claim = planar.from_planar(planar.dot(Zp, pops.eq_table(u_full))[:, None])[0]
+    return X_folded, W_folded, z_claim
+
+
 def prove(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) -> ZkFCProof:
     """Mirror of zkFC::prove (zkfc.cu:128-145); challenge order matches
     (u_bs, u_in_dim, u_out_dim)."""
@@ -254,6 +290,27 @@ def prove(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) 
     )
     u_w = jnp.concatenate([u_out, u_in], axis=0)
     opening = pedersen.open(layer.gens, layer.weights, layer.com, u_w)
+    proof = ZkFCProof(u_bs, u_in, u_out, ip_polys, ip_finals, z_claim, opening)
+    challenges.absorb_array(ip_polys)
+    challenges.absorb_array(z_claim)
+    return proof
+
+
+def prove_planar(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) -> ZkFCProof:
+    """Planar/pallas prover; challenge order and proof stream identical to
+    prove() (tests assert)."""
+    from ..sumcheck import planar_protocols as pp
+
+    batch = X.shape[0] // layer.in_size
+    u_bs = challenges.random_vec(fr_ops.ceil_log2(batch))
+    u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))
+    u_out = challenges.random_vec(fr_ops.ceil_log2(layer.out_size))
+    X_folded, W_folded, z_claim = _fc_prep_planar(
+        X, layer.weights, Z, u_bs, u_in, u_out, layer.in_size, layer.out_size
+    )
+    ip_polys, ip_finals = pp.inner_product_prove(X_folded, W_folded, u_in)
+    u_w = jnp.concatenate([u_out, u_in], axis=0)
+    opening = pedersen.open_planar(layer.gens, layer.weights, layer.com, u_w)
     proof = ZkFCProof(u_bs, u_in, u_out, ip_polys, ip_finals, z_claim, opening)
     challenges.absorb_array(ip_polys)
     challenges.absorb_array(z_claim)

@@ -24,15 +24,18 @@ results (SURVEY.md §0.1); we keep them in the proof and verify them.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field import fr, host
+from ..field import fr, host, planar
+from ..sumcheck import planar_protocols as pp
 from ..sumcheck import protocols as sc
 from ..sumcheck.transcript import ChallengeSource
 from ..tensor import fr_ops
+from ..tensor import planar_ops as pops
 
 HF = host.fr
 
@@ -93,6 +96,45 @@ def forward(X: jax.Array):
     return Z, {"sign": sign, "mag_bin": mag_bin, "rem_bin": rem_bin}
 
 
+@jax.jit
+def forward_compact(X: jax.Array):
+    """Forward pass returning COMPACT auxiliary witnesses (u32 per element
+    instead of Montgomery bit tensors — 48x less HBM; the planar prover
+    expands bits on the fly). Z is identical to forward(X)'s.
+
+    Returns (Z, {"sign_bits": (n,) u32 0/1, "mag": (n,) u32 (mag_rescaled),
+    "rem_bits16": (n,) u32 (15 magnitude bits + sign at bit 15)}).
+    """
+    from ..field import mp
+
+    n = X.shape[0]
+    x = fr.unmont(X)
+    pos = mp._gte(jnp.broadcast_to(jnp.asarray(_POS_MAX), x.shape), x)
+
+    x_biased = fr.add(x, jnp.broadcast_to(jnp.asarray(_BIAS_2_47), x.shape))
+    lo = jnp.where(pos, x[:, 0], x_biased[:, 0])
+    hi = jnp.where(pos, x[:, 1], x_biased[:, 1])
+
+    rem_sign = (lo >> 15) & jnp.uint32(1)
+    rem_mag = lo & jnp.uint32(32767)
+    add_amt = jnp.uint32(32768) - rem_mag
+    lo_neg = lo + add_amt
+    hi_neg = hi + (lo_neg < lo).astype(jnp.uint32)
+    lo_pos = lo - rem_mag
+    lo2 = jnp.where(rem_sign == 1, lo_neg, lo_pos)
+    hi2 = jnp.where(rem_sign == 1, hi_neg, hi)
+    mag_rescaled = (lo2 >> 16) | (hi2 << 16)
+
+    sign_bits = pos.astype(jnp.uint32)
+    rem_bits16 = rem_mag | (rem_sign << 15)
+
+    one_m = fr.ones_mont((n,))
+    zero = fr.zeros((n,))
+    sign = fr.select(pos, one_m, zero)
+    Z = fr.mul(fr.mont(fr_ops.from_u32(mag_rescaled)), sign)
+    return Z, {"sign_bits": sign_bits, "mag": mag_rescaled, "rem_bits16": rem_bits16}
+
+
 @dataclasses.dataclass
 class ZkReluProof:
     # challenge vectors (recorded so the verifier in any challenge mode can replay)
@@ -151,6 +193,84 @@ def prove(X: jax.Array, aux: dict, challenges: ChallengeSource) -> ZkReluProof:
         u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp,
         mag_polys, mag_final, rem_polys, rem_final, hp_polys, hp_finals,
         mag_bits_at_u, rem_bits_at_u, hp_claim,
+    )
+    challenges.absorb_array(mag_polys)
+    challenges.absorb_array(rem_polys)
+    challenges.absorb_array(hp_polys)
+    return proof
+
+
+# ---------------------------------------------------------------------------
+# planar prover (TPU hot path; stream-identical to prove())
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp):
+    """One fused prep dispatch: expand bit matrices into bit-reversed flat
+    layout for the binary sumchecks, bit-reverse X/sign for the Hadamard,
+    and compute the recombination claims + hp_claim as eq-weighted masked
+    sums (mul-free on the bit side)."""
+    n2 = 1 << log_size
+    pad = n2 - aux_mag.shape[0]
+    mag = jnp.pad(aux_mag, (0, pad))
+    rem = jnp.pad(aux_rem, (0, pad))
+    sign = jnp.pad(aux_sign, (0, pad))
+    Xp = planar.to_planar(fr_ops.pad_to(X, n2))  # (8, n2) plain order
+
+    revn = jnp.asarray(pops.bitrev_indices(log_size))
+    rev5 = pops.bitrev_indices(LOG_Q)
+    rev4 = pops.bitrev_indices(LOG_R)
+
+    shifts_q = jnp.arange(Q, dtype=jnp.uint32)
+    mag_bits = (mag[None, :] >> shifts_q[:, None]) & jnp.uint32(1)  # (32, n2) semantic rows
+    shifts_r = jnp.arange(R, dtype=jnp.uint32)
+    rem_bits = (rem[None, :] >> shifts_r[:, None]) & jnp.uint32(1)  # (16, n2)
+
+    # binary-sumcheck inputs: stored[rev5(k)*n2 + revn(j)] = bit_k(mag[j])
+    mag_rev = jnp.take(mag_bits, jnp.asarray(rev5), axis=0)[:, revn].reshape(-1)
+    rem_rev = jnp.take(rem_bits, jnp.asarray(rev4), axis=0)[:, revn].reshape(-1)
+
+    # recombination claims (reference computes-and-discards, zkrelu.cu:92-94):
+    # row k's MLE at u_rec = eq-weighted masked sum over the element axis.
+    E_rec = pops.eq_table(u_rec)  # (8, n2) standard order
+    mag_at_u = planar.masked_sum(mag_bits == 1, E_rec[:, None, :])  # (8, 32)
+    rem_at_u = planar.masked_sum(rem_bits == 1, E_rec[:, None, :])  # (8, 16)
+
+    # Hadamard inputs (bit-reversed) + claim MLE of X (.) sign at u_hp
+    X_rev = Xp[:, revn]
+    sign_rev = sign[revn]
+    E_hp = pops.eq_table(u_hp)
+    hp_claim = planar.dot(planar.select(sign == 1, Xp, jnp.zeros_like(Xp)), E_hp)
+
+    return (mag_rev, rem_rev, X_rev, sign_rev,
+            jnp.swapaxes(mag_at_u, 0, 1), jnp.swapaxes(rem_at_u, 0, 1), hp_claim)
+
+
+def prove_planar(X: jax.Array, aux: dict, challenges: ChallengeSource) -> ZkReluProof:
+    """Planar/pallas prover on compact aux (forward_compact). Challenge draw
+    order and emitted proof stream match prove() bit-for-bit."""
+    n = X.shape[0]
+    log_size = fr_ops.ceil_log2(n)
+    u_z = challenges.random_vec(log_size + LOG_Q)
+    v_z = challenges.random_vec(log_size + LOG_Q)
+    u_r = challenges.random_vec(log_size + LOG_R)
+    v_r = challenges.random_vec(log_size + LOG_R)
+    u_rec = challenges.random_vec(log_size)
+    u_hp = challenges.random_vec(log_size)
+    v_hp = challenges.random_vec(log_size)
+
+    (mag_rev, rem_rev, X_rev, sign_rev, mag_at_u, rem_at_u, hp_claim) = _relu_prep_planar(
+        X, aux["mag"], aux["rem_bits16"], aux["sign_bits"], log_size, u_rec, u_hp
+    )
+    mag_polys, mag_final = pp.binary_prove_bits(mag_rev, u_z, v_z)
+    rem_polys, rem_final = pp.binary_prove_bits(rem_rev, u_r, v_r)
+    hp_polys, hp_finals = pp.hadamard_prove_bits(X_rev, sign_rev, u_hp, v_hp)
+
+    proof = ZkReluProof(
+        u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp,
+        mag_polys, mag_final, rem_polys, rem_final, hp_polys, hp_finals,
+        mag_at_u, rem_at_u, hp_claim,
     )
     challenges.absorb_array(mag_polys)
     challenges.absorb_array(rem_polys)

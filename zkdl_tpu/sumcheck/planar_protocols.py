@@ -55,9 +55,9 @@ def host_scales(u) -> jax.Array:
     out = [one]
     for j in range(1, len(u_ints)):
         d = HF.sub(one, u_ints[j])
-        d_val = HF.from_mont_int(d)
+        d_val = HF.unmont(d)
         inv_val = pow(d_val, -1, fr.P_INT) if d_val else 0
-        s = HF.mul(s, HF.to_mont_int(inv_val))
+        s = HF.mul(s, HF.mont(inv_val))
         out.append(s)
     from ..field import mp
 
@@ -227,6 +227,10 @@ def binary_prove_bits(bits_rev, u, v):
     r = u.shape[0]
     n = bits_rev.shape[0]
     assert n == (1 << r), (n, r)
+    if r == 0:
+        one = planar.ones_mont(1)[:, 0]
+        final = jnp.where(bits_rev[0] != 0, one, jnp.zeros_like(one))
+        return jnp.zeros((0, 3, 8), jnp.uint32), final
     table = _eq_table(u[1:])
     scales = host_scales(u)
     polys = []
@@ -253,6 +257,10 @@ def hadamard_prove_bits(a_rev, bits_rev, u, v):
     r = u.shape[0]
     n = a_rev.shape[1]
     assert n == (1 << r) and bits_rev.shape[0] == n, (n, r)
+    if r == 0:
+        one = planar.ones_mont(1)[:, 0]
+        b_final = jnp.where(bits_rev[0] != 0, one, jnp.zeros_like(one))
+        return jnp.zeros((0, 3, 8), jnp.uint32), jnp.stack([a_rev[:, 0], b_final])
     table = _eq_table(u[1:])
     scales = host_scales(u)
     polys = []
