@@ -1,0 +1,72 @@
+"""Exp-consistent quantized softmax proof: completeness + soundness probes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkdl_tpu.field import fr, mp
+from zkdl_tpu.models import quantize, zksoftmax
+from zkdl_tpu.sumcheck.transcript import SeededRng
+
+
+ROWS, COLS, DM = 4, 8, 16
+
+
+@pytest.fixture(scope="module")
+def scores():
+    rng = np.random.default_rng(11)
+    # signed scores at scale 2^16, well within the 48-bit bound
+    vals = (rng.standard_normal((ROWS, COLS)) * 2.0 * quantize.SCALE).astype(np.int64)
+    limbs = np.stack(
+        [mp.limbs_from_int(int(v) % fr.P_INT, 8) for v in vals.reshape(-1)]
+    )
+    return jnp.asarray(limbs) if False else fr.mont(jnp.asarray(limbs)), vals
+
+
+def test_witness_is_quantized_softmax(scores):
+    S, vals = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    P = wit["P"].reshape(ROWS, COLS).astype(np.float64) / quantize.SCALE
+    # compare against float softmax of the same logits
+    logits = vals.astype(np.float64) / quantize.SCALE / np.sqrt(DM)
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    ref = e / e.sum(axis=1, keepdims=True)
+    # bucket quantum 2^-8 in the exponent + flooring: generous tolerance
+    assert np.abs(P - ref).max() < 0.01
+    # row sums in (2^16 - cols, 2^16]
+    sums = wit["P"].reshape(ROWS, COLS).sum(axis=1)
+    assert ((sums > quantize.SCALE - COLS) & (sums <= quantize.SCALE)).all()
+
+
+def test_softmax_prove_verify(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    proof = zksoftmax.prove(S, wit, ROWS, COLS, DM, SeededRng(7))
+    ok, msg = zksoftmax.verify(proof)
+    assert ok, msg
+
+
+def test_softmax_tampered_e_fails(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    wit = dict(wit)
+    e = wit["e"].copy()
+    e[3] += 5  # not the table value for its bucket anymore
+    wit["e"] = e
+    proof = zksoftmax.prove(S, wit, ROWS, COLS, DM, SeededRng(7))
+    ok, msg = zksoftmax.verify(proof)
+    assert not ok
+
+
+def test_softmax_tampered_P_fails(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    wit = dict(wit)
+    P = wit["P"].copy()
+    P[0] += 123  # break the division relation
+    wit["P"] = P
+    wit["P_mont"] = zksoftmax._mont_from_u64(jnp.asarray(P))
+    proof = zksoftmax.prove(S, wit, ROWS, COLS, DM, SeededRng(7))
+    ok, msg = zksoftmax.verify(proof)
+    assert not ok

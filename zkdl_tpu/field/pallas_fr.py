@@ -204,8 +204,10 @@ def _dot_cols_kernel(a_ref, b_ref, o_ref):
         for j in range(N_DIGITS):
             k = i + j
             p = ad[i] * bd[j]  # (rows, 128)
-            lo = jnp.sum(p & MASK16, axis=0, keepdims=True, dtype=jnp.uint32)  # (1, 128) < 2^22
-            hi = jnp.sum(p >> 16, axis=0, keepdims=True, dtype=jnp.uint32)
+            # Mosaic lacks unsigned reductions; route through int32 (terms
+            # < 2^16, row sums < 2^22 — exact in int32)
+            lo = jnp.sum((p & MASK16).astype(jnp.int32), axis=0, keepdims=True).astype(jnp.uint32)
+            hi = jnp.sum((p >> 16).astype(jnp.int32), axis=0, keepdims=True).astype(jnp.uint32)
             cols[k] = lo if cols[k] is None else cols[k] + lo
             cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
     z = jnp.zeros((1, 128), dtype=jnp.uint32)

@@ -449,7 +449,14 @@ def masked_sum(mask: jax.Array, w: jax.Array) -> jax.Array:
         low = _limbs_sub_p_if_gte(low)
     hi = digs[N_DIGITS]  # < 2^13
     hi_limbs = jnp.stack([hi] + [jnp.zeros_like(hi)] * (N_LIMBS - 1))
-    hi_contrib = to_mont(hi_limbs)  # hi * 2^256 mod p
+    # hi * 2^256 mod p == to_mont(hi); via the pallas kernel to keep the XLA
+    # graph of every masked_sum call site small (lazy import: no module cycle)
+    from . import pallas_fr as _pf
+
+    r2 = jnp.asarray(mp.limbs_from_int(SPEC.r2, N_LIMBS)).reshape(
+        (N_LIMBS,) + (1,) * (hi_limbs.ndim - 1)
+    )
+    hi_contrib = _pf.mul(hi_limbs, jnp.broadcast_to(r2, hi_limbs.shape))
     return tree_sum(add(low, hi_contrib))
 
 
@@ -461,16 +468,21 @@ def lazy_sum(w: jax.Array) -> jax.Array:
 
 
 def to_mont(a: jax.Array) -> jax.Array:
-    """a -> a*R mod p, planar (8, n)."""
+    """a -> a*R mod p, planar (8, n). Routed through the pallas kernel on TPU
+    to keep call-site XLA graphs small (lazy import: no module cycle)."""
+    from . import pallas_fr as _pf
+
     shape = (N_LIMBS,) + (1,) * (a.ndim - 1)
     r2 = jnp.asarray(mp.limbs_from_int(SPEC.r2, N_LIMBS)).reshape(shape)
-    return mul(a, jnp.broadcast_to(r2, a.shape))
+    return _pf.mul(a, jnp.broadcast_to(r2, a.shape))
 
 
 def from_mont(a: jax.Array) -> jax.Array:
     """a -> a*R^-1 mod p, planar (8, n)."""
+    from . import pallas_fr as _pf
+
     one = jnp.zeros_like(a).at[0].set(1)
-    return mul(a, one)
+    return _pf.mul(a, one)
 
 
 def _next_pow2(n: int) -> int:

@@ -18,17 +18,13 @@ stages so the signed-48-bit invariant of zkrelu.cu:18 always holds):
      inner-product sumcheck, no opening (both operands are prover activations
      whose claims chain into adjacent proofs).
   3. Five zkRescale proofs (binary sumchecks + recombination + Hadamard).
-  4. Softmax well-formedness of P:
-     (a) range: every entry in [0, 2^16] via 17-bit decomposition — binary
-         sumcheck + recombination fold (zkReLU's mechanism, zkrelu.cu:91-94);
-     (b) normalization: every row sums to exactly 2^16 — the quantizer assigns
-         the rounding residual to the row's argmax, and padding rows are set to
-         2^16 * e_0, so the row-sum vector is the constant 2^16; proven by one
-         inner-product sumcheck of (P folded at u_row) against all-ones.
-     The remaining exp-consistency relation (P ~ exp(S)) is the known open
-     item for a lookup argument (sumcheck/lookup.py provides logUp; wiring a
-     chunked exp table through it is scheduled work) — state of the art
-     (zkLLM) uses exactly such table lookups.
+  4. Softmax well-formedness AND exp-consistency of P via the full
+     quantized-softmax circuit proof (models/zksoftmax.py): argmax selection,
+     48-bit distance decomposition, bucket clipping, a logUp exp-table lookup
+     tying e = EXPTAB[d], the exact-division relation e*2^16 = P*E + r with
+     range-proved remainders, and row-sum slack — the zkLLM-style lookup
+     design. (The earlier range+normalization-only SoftmaxProof remains below
+     for the cheap variant.)
 
 Layout conventions match zkFC: matrices are row-major flattened (rows*cols, 8)
 Montgomery tensors, dims padded to powers of two.
@@ -47,7 +43,7 @@ from ..field import fr
 from ..sumcheck import protocols as sc
 from ..sumcheck.transcript import ChallengeSource
 from ..tensor import fr_ops
-from . import quantize, zkfc, zkrelu, zkrescale
+from . import quantize, zkfc, zkrelu, zkrescale, zksoftmax
 
 P_RANGE_BITS = 17  # P entries lie in [0, 2^16] — 17 bits cover the closed range
 
@@ -180,11 +176,11 @@ class SoftmaxProof:
 
 @functools.partial(jax.jit, static_argnums=(7,))
 def _softmax_prove_core(P, bits, u_bin, v_bin, u_rec, u_row, u_col, cols):
-    bin_polys, bin_final = sc.binary_prove(bits, u_bin, v_bin)
+    bin_polys, bin_final = sc.binary_prove_scan(bits, u_bin, v_bin)
     bits_at_u = fr_ops.partial_me(bits, u_rec, P_RANGE_BITS)
     P_row_folded = fr_ops.partial_me(P, u_row, cols)
     ones = fr.ones_mont((cols,))
-    ip_polys, ip_finals = sc.inner_product_prove(P_row_folded, ones, u_col)
+    ip_polys, ip_finals = sc.inner_product_prove_scan(P_row_folded, ones, u_col)
     return bin_polys, bin_final, bits_at_u, ip_polys, ip_finals
 
 
@@ -278,8 +274,9 @@ class ZkAttention:
         Sr = zkfc.field_matmul_jit(Q, Kt, d, s); tr["S_raw"] = Sr
         S, tr["s_aux"] = zkrescale.forward(Sr); tr["S"] = S
 
-        P, q_raw = softmax_aux(S, s, s, d)
-        tr["P"] = P; tr["P_raw_vals"] = q_raw
+        wit = zksoftmax.softmax_witness(S, s, s, d)
+        P = wit["P_mont"]
+        tr["P"] = P; tr["P_raw_vals"] = wit["P"].reshape(s, s); tr["sm_wit"] = wit
 
         Or = zkfc.field_matmul_jit(P, V, s, d); tr["O_raw"] = Or
         O, tr["o_aux"] = zkrescale.forward(Or); tr["O"] = O
@@ -298,7 +295,7 @@ class ZkAttention:
         rs_v = zkrescale.prove(tr["V_raw"], tr["v_aux"], challenges)
         mm_s = matmul_prove(tr["Q"], tr["Kt"], tr["S_raw"], s, d, s, challenges)
         rs_s = zkrescale.prove(tr["S_raw"], tr["s_aux"], challenges)
-        sm = softmax_prove(tr["P"], s, s, challenges)
+        sm = zksoftmax.prove(tr["S"], tr["sm_wit"], s, s, d, challenges)
         mm_o = matmul_prove(tr["P"], tr["V"], tr["O_raw"], s, s, d, challenges)
         rs_o = zkrescale.prove(tr["O_raw"], tr["o_aux"], challenges)
         fc_y = zkfc.prove(self.wo, tr["O"], tr["Y_raw"], challenges)
@@ -316,7 +313,7 @@ class ZkAttention:
             ("rs_v", lambda: zkrescale.verify(proof.rs_v)),
             ("mm_s", lambda: matmul_verify(proof.mm_s)),
             ("rs_s", lambda: zkrescale.verify(proof.rs_s)),
-            ("softmax", lambda: softmax_verify(proof.sm)),
+            ("softmax", lambda: zksoftmax.verify(proof.sm)),
             ("mm_o", lambda: matmul_verify(proof.mm_o)),
             ("rs_o", lambda: zkrescale.verify(proof.rs_o)),
             ("fc_y", lambda: zkfc.verify(self.wo.com, proof.fc_y)),
@@ -339,7 +336,7 @@ class ZkAttentionProof:
     rs_v: zkrelu.ZkReluProof
     mm_s: MatmulProof
     rs_s: zkrelu.ZkReluProof
-    sm: SoftmaxProof
+    sm: "zksoftmax.ZkSoftmaxProof"
     mm_o: MatmulProof
     rs_o: zkrelu.ZkReluProof
     fc_y: zkfc.ZkFCProof

@@ -1,0 +1,535 @@
+"""zkSoftmax: exp-consistent quantized softmax proof (lookup-based, zkLLM-style).
+
+Closes the exp-consistency item left open by zkattention.py's range+normalization
+proofs: P is now tied to the scores S through an explicit quantized-softmax
+CIRCUIT whose only non-arithmetic step (exp) is a table lookup
+(sumcheck/lookup.py, logUp). No counterpart exists in the reference (it proves
+MLPs only, /root/reference/README.md:12); this is the aux-decomposition
+methodology of zkReLU (zkrelu.cu:11-41) generalized per the zkLLM recipe.
+
+The circuit (all fixed point; S at scale 2^16, signed, |S| < 2^47):
+
+  Smax_i  = sum_j h_ij * S_ij         h = row argmax one-hot (prover witness)
+  t_ij    = Smax_i - S_ij             >= 0 (forced by decomposition)
+  t_ij    = d_full_ij * 2^8 + rem8_ij       rem8 in [0, 2^8)
+  d_ij    = min(d_full_ij, D_MAX)           bucket index, D_MAX = 2^12 - 1
+  e_ij    = EXPTAB_d[d_ij]                  = round(exp(-d*2^8 / (2^16 sqrt(dm))) * 2^16),
+                                              EXPTAB[D_MAX] = 0 (saturation)
+  E_i     = sum_j e_ij                      in [2^16, cols * 2^16]
+  P_ij    = floor(e_ij * 2^16 / E_i):       e_ij*2^16 = P_ij*E_i + r_ij, 0 <= r_ij < E_i
+  row sums: sum_j P_ij = 2^16 - slack_i,    slack_i in [0, cols)
+
+Proof obligations (every claim verified; MLE equalities are checked at random
+points, linear combinations of forwarded claims — the same claim-chaining
+discipline as the rest of the framework):
+
+  1. h is binary (binary sumcheck) and each row sums to 1 (fold + ip vs ones).
+  2. t-decomposition: binary sumchecks over d_full (D_FULL_BITS) and rem8
+     bits; recombinations at a shared point u_r give d_full(u_r), rem8(u_r),
+     hence t(u_r) = 2^8 d_full(u_r) + rem8(u_r).
+  3. t definition: t + S - Smax_bcast == 0 at u_r:
+     S(u_r) is a forwarded claim (chains to the score-matmul/rescale proofs);
+     Smax_bcast(u_col, u_row) == Smax(u_row) and Smax(u_row) is proven by a
+     hadamard sumcheck of h (.) S at u_r's row part + row-sum reduction.
+  4. clip: d is 12 bits, (d_full - d) is D_FULL_BITS bits (both binary-
+     decomposed), and (d_full - d) (.) (d - D_MAX) == 0 at a random point
+     (hadamard with zero claim) — together these force d = min(d_full, D_MAX).
+  5. exp lookup: pair values a = d * 2^E_PAIR + e lie in the 4096-entry pair
+     table {b * 2^E_PAIR + EXPTAB[b]} (logUp); the lookup's witness MLE claim
+     equals 2^E_PAIR * d(.) + e(.) from the forwarded claims.
+  6. division: e * 2^16 - P (.) E_bcast - r == 0 at a random point (hadamard
+     of P (.) E_bcast + linear claims for e, r); r and (E-1-r) are
+     range-decomposed (E_BITS + log2(cols) bits) so 0 <= r < E; E_i is proven
+     as the row sums of e (fold + ip vs ones).
+  7. row-sum slack: sum_j P_ij = 2^16 - slack_i with slack_i range-decomposed
+     to log2(cols)+1 bits (replaces the exact-2^16 normalization of the
+     argmax-fixup variant; floors make row sums land in (2^16 - cols, 2^16]).
+
+Soundness of each piece reduces to the sumcheck/logUp soundness already used
+framework-wide; the quantization statement proven is exactly the circuit above
+(bucket quantum 2^-8 in the exponent => e within ~0.4% of continuous exp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fr, host
+from ..sumcheck import lookup
+from ..sumcheck import protocols as sc
+from ..sumcheck.transcript import ChallengeSource
+from ..tensor import fr_ops
+from . import quantize
+
+HF = host.fr
+
+D_BITS = 12
+D_MAX = (1 << D_BITS) - 1
+BUCKET_SHIFT = 8
+D_FULL_BITS = 40  # t < 2^48, t >> 8 fits 40 bits
+REM_BITS = 8
+E_PAIR = 17  # e in [0, 2^16] needs 17 bits in the pair encoding
+R_BITS = 17 + 11  # r < E <= cols * 2^16; supports cols <= 2^11
+
+
+@functools.lru_cache(maxsize=None)
+def exp_table_vals(d_model: int) -> np.ndarray:
+    """EXPTAB[b] = round(exp(-b * 2^BUCKET_SHIFT / (2^16 sqrt(d_model))) * 2^16),
+    with the saturation row EXPTAB[D_MAX] = 0."""
+    b = np.arange(1 << D_BITS, dtype=np.float64)
+    vals = np.rint(np.exp(-b * (1 << BUCKET_SHIFT) / (quantize.SCALE * np.sqrt(d_model))) * quantize.SCALE)
+    vals = vals.astype(np.uint64)
+    vals[D_MAX] = 0
+    return vals
+
+
+@functools.lru_cache(maxsize=None)
+def pair_table_vals(d_model: int) -> np.ndarray:
+    b = np.arange(1 << D_BITS, dtype=np.uint64)
+    return (b << E_PAIR) | exp_table_vals(d_model)
+
+
+def _mont_from_u64(vals: jax.Array) -> jax.Array:
+    raw = jnp.zeros((*vals.shape, 8), dtype=jnp.uint32)
+    raw = raw.at[..., 0].set((vals & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    raw = raw.at[..., 1].set((vals >> jnp.uint64(32)).astype(jnp.uint32))
+    return fr.mont(raw)
+
+
+# ---------------------------------------------------------------------------
+# witness generation
+# ---------------------------------------------------------------------------
+
+
+def softmax_witness(S: jax.Array, rows: int, cols: int, d_model: int):
+    """Build every circuit value from the scores S ((rows*cols, 8) mont,
+    scale 2^16 signed). Host-side u64 math (witness generation is setup-shaped,
+    like the reference's relu_kernel aux generation). Returns a dict of u64
+    numpy arrays + Montgomery tensors.
+    """
+    from ..field import mp
+
+    x = np.asarray(fr.unmont(S)).astype(np.uint64)
+    lo = x[:, 0]
+    hi = x[:, 1]
+    # interpret as signed 48-bit fixed point (zkrelu.cu:18 convention)
+    val = (lo | (hi << np.uint64(32))).astype(np.int64)
+    # negatives are stored as p - |v| and have nonzero high limbs
+    neg_mask = ~np.all(x[:, 2:] == 0, axis=1)
+    if neg_mask.any():
+        P = fr.P_INT
+        ints = np.zeros(x.shape[0], dtype=object)
+        for i in np.where(neg_mask)[0]:
+            full = 0
+            for k in reversed(range(8)):
+                full = (full << 32) | int(x[i, k])
+            ints[i] = -(P - full)
+        val = val.copy()
+        for i in np.where(neg_mask)[0]:
+            val[i] = int(ints[i])
+    Sv = val.reshape(rows, cols)  # signed, |.| < 2^47
+
+    smax = Sv.max(axis=1)
+    am = Sv.argmax(axis=1)
+    h = np.zeros((rows, cols), dtype=np.uint64)
+    h[np.arange(rows), am] = 1
+
+    t = (smax[:, None] - Sv).astype(np.uint64)  # >= 0, < 2^48
+    rem8 = t & np.uint64((1 << BUCKET_SHIFT) - 1)
+    d_full = t >> np.uint64(BUCKET_SHIFT)
+    d = np.minimum(d_full, np.uint64(D_MAX))
+
+    tab = exp_table_vals(d_model)
+    e = tab[d.astype(np.int64)]
+    E = e.sum(axis=1)  # in [2^16, cols * 2^16]
+    P_q = (e * np.uint64(quantize.SCALE)) // E[:, None]
+    r = e * np.uint64(quantize.SCALE) - P_q * E[:, None]
+    slack = np.uint64(quantize.SCALE) - P_q.sum(axis=1)  # in [0, cols)
+
+    wit = {
+        "h": h.reshape(-1), "t": t.reshape(-1), "rem8": rem8.reshape(-1),
+        "d_full": d_full.reshape(-1), "d": d.reshape(-1), "e": e.reshape(-1),
+        "E": E, "P": P_q.reshape(-1), "r": r.reshape(-1), "slack": slack,
+        "smax": smax,
+    }
+    wit["P_mont"] = _mont_from_u64(jnp.asarray(wit["P"]))
+    return wit
+
+
+# ---------------------------------------------------------------------------
+# generic helpers: range decomposition proof, zero-product proof, row sums
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RangeProof:
+    """vals = sum_k 2^k bits_k with every bit binary: binary sumcheck over the
+    (n * width) bit tensor + recombination claims at u_rec (the zkReLU
+    mechanism, zkrelu.cu:91-94)."""
+
+    width: int
+    u: jax.Array
+    v: jax.Array
+    polys: jax.Array
+    final: jax.Array
+    u_rec: jax.Array
+    bits_at_u: jax.Array  # (width, 8)
+
+    def value_claim(self) -> int:
+        """vals' MLE at u_rec = sum_k 2^k * bits_k(u_rec)."""
+        bits = sc.scalars_to_ints(self.bits_at_u)
+        acc = 0
+        for k, b in enumerate(bits):
+            acc = HF.add(acc, HF.mul(b, HF.mont(1 << k)))
+        return acc
+
+    def verify(self) -> tuple[bool, str]:
+        res = sc.binary_verify(
+            sc.polys_to_ints(self.polys),
+            sc.scalars_to_ints(self.u),
+            sc.scalars_to_ints(self.v),
+            sc.scalars_to_ints(self.final[None])[0],
+        )
+        return (res.ok, res.reason)
+
+
+def _bits_tensor(vals: jax.Array, width: int) -> jax.Array:
+    shifts = jnp.arange(width, dtype=jnp.uint64)
+    bits = (vals[:, None] >> shifts) & jnp.uint64(1)
+    n = vals.shape[0]
+    return fr.select(
+        (bits == 1).reshape(-1), fr.ones_mont((n * width,)), fr.zeros((n * width,))
+    )
+
+
+def range_prove(vals_u64: np.ndarray, width: int, u_rec: jax.Array,
+                challenges: ChallengeSource) -> RangeProof:
+    n = len(vals_u64)
+    log_n = fr_ops.ceil_log2(n)
+    log_w = fr_ops.ceil_log2(width)
+    bits = _bits_tensor(jnp.asarray(vals_u64, dtype=jnp.uint64), 1 << log_w)
+    u = challenges.random_vec(log_n + log_w)
+    v = challenges.random_vec(log_n + log_w)
+    polys, final = sc.binary_prove_scan(bits, u, v)
+    bits_at_u = fr_ops.partial_me(bits, u_rec, 1 << log_w)[:width]
+    proof = RangeProof(width, u, v, polys, final, u_rec, bits_at_u)
+    challenges.absorb_array(polys)
+    challenges.absorb_array(bits_at_u)
+    return proof
+
+
+@dataclasses.dataclass
+class ZeroProductProof:
+    """Proves a (.) b == 0 everywhere: hadamard sumcheck with initial claim 0."""
+
+    u: jax.Array
+    v: jax.Array
+    polys: jax.Array
+    finals: jax.Array
+
+    def verify(self) -> tuple[bool, str]:
+        fa, fb = sc.scalars_to_ints(self.finals)
+        res = sc.hadamard_verify(
+            sc.polys_to_ints(self.polys),
+            sc.scalars_to_ints(self.u),
+            sc.scalars_to_ints(self.v),
+            0,
+            fa,
+            fb,
+        )
+        return (res.ok, res.reason)
+
+
+def zero_product_prove(a: jax.Array, b: jax.Array, challenges: ChallengeSource) -> ZeroProductProof:
+    log_n = fr_ops.ceil_log2(a.shape[0])
+    u = challenges.random_vec(log_n)
+    v = challenges.random_vec(log_n)
+    polys, finals = sc.hadamard_prove_scan(a, b, u, v)
+    proof = ZeroProductProof(u, v, polys, finals)
+    challenges.absorb_array(polys)
+    return proof
+
+
+@dataclasses.dataclass
+class RowSumProof:
+    """Proves row-sum claims of M ((rows, cols) flattened): the verifier learns
+    sums(u_row) = <M(u_row, .), ones> via one fold + inner-product sumcheck."""
+
+    u_row: jax.Array
+    u_col: jax.Array
+    polys: jax.Array
+    finals: jax.Array
+    claim: jax.Array  # (8,) <M(u_row, .), 1> initial sum claim
+
+    def verify(self) -> tuple[bool, str]:
+        claim = sc.scalars_to_ints(self.claim[None])[0]
+        res = sc.inner_product_verify(
+            sc.polys_to_ints(self.polys), sc.scalars_to_ints(self.u_col), claim
+        )
+        if not res.ok:
+            return False, res.reason
+        fa, fb = sc.scalars_to_ints(self.finals)
+        if fb != HF.one_mont:
+            return False, "ones final != 1"
+        if not sc.inner_product_check_final(res, fa, fb):
+            return False, "final product mismatch"
+        return True, ""
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _rowsum_core(M, u_row, u_col, cols):
+    folded = fr_ops.partial_me(M, u_row, cols)
+    ones = fr.ones_mont((cols,))
+    polys, finals = sc.inner_product_prove_scan(folded, ones, u_col)
+    claim = fr_ops.fr_sum(fr.mul(folded, ones))
+    return polys, finals, claim
+
+
+def rowsum_prove(M: jax.Array, rows: int, cols: int, challenges: ChallengeSource) -> RowSumProof:
+    u_row = challenges.random_vec(fr_ops.ceil_log2(rows))
+    u_col = challenges.random_vec(fr_ops.ceil_log2(cols))
+    polys, finals, claim = _rowsum_core(M, u_row, u_col, cols)
+    proof = RowSumProof(u_row, u_col, polys, finals, claim)
+    challenges.absorb_array(polys)
+    challenges.absorb_array(claim)
+    return proof
+
+
+# ---------------------------------------------------------------------------
+# the full softmax proof
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ZkSoftmaxProof:
+    rows: int
+    cols: int
+    d_model: int
+    # 1. argmax one-hot h
+    h_range: RangeProof  # width 1 == binary
+    h_rowsum: RowSumProof  # claims h row-sums; verifier checks claim == 1 when u_row folds... claims
+    # 2/3. t decomposition + definition
+    u_rec: jax.Array
+    dfull_range: RangeProof
+    rem8_range: RangeProof
+    s_at_urec: jax.Array  # (8,) forwarded S claim at u_rec (chains to score proofs)
+    hs_u: jax.Array  # hadamard binding of hs = h (.) S
+    hs_v: jax.Array
+    hs_polys: jax.Array
+    hs_finals: jax.Array
+    hs_claim: jax.Array  # (8,) MLE of hs at hs_u
+    smax_rowsum: RowSumProof  # row sums of h (.) S == Smax vector
+    smax_at_urec_row: jax.Array  # (8,) Smax MLE at u_rec's row variables
+    # 4. clip
+    d_range: RangeProof
+    dgap_range: RangeProof  # d_full - d
+    clip_zero: ZeroProductProof
+    # 5. exp lookup
+    lk: lookup.LookupProof
+    d_at_lk: jax.Array  # (8,) d MLE at the lookup's v_w binding point
+    e_at_lk: jax.Array
+    # 6. division
+    e_rowsum: RowSumProof  # E_i = row sums of e
+    div_zero_u: jax.Array
+    div_zero_v: jax.Array
+    div_polys: jax.Array  # hadamard of P (.) E_bcast
+    div_finals: jax.Array
+    e_at_div: jax.Array  # (8,) e MLE at div point
+    r_at_div: jax.Array
+    pE_claim: jax.Array  # (8,) MLE of P (.) E_bcast at div point
+    E_at_divrow: jax.Array  # (8,) E(u_row part of div point)
+    r_range: RangeProof
+    er_range: RangeProof  # E - 1 - r
+    # 7. P row-sum slack
+    p_rowsum: RowSumProof
+    slack_range: RangeProof
+    slack_at_urow: jax.Array  # (8,) slack MLE at p_rowsum.u_row
+
+
+def prove(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
+          challenges: ChallengeSource) -> ZkSoftmaxProof:
+    """Prove the quantized-softmax circuit for witness `wit` (softmax_witness).
+
+    Challenge-draw order is fixed; every sub-proof absorbs its messages.
+    """
+    n = rows * cols
+    log_n = fr_ops.ceil_log2(n)
+    log_rows = fr_ops.ceil_log2(rows)
+
+    h_m = _mont_from_u64(jnp.asarray(wit["h"]))
+    t_m = _mont_from_u64(jnp.asarray(wit["t"]))
+    e_m = _mont_from_u64(jnp.asarray(wit["e"]))
+    d_m = _mont_from_u64(jnp.asarray(wit["d"]))
+    dfull_m = _mont_from_u64(jnp.asarray(wit["d_full"]))
+    r_m = _mont_from_u64(jnp.asarray(wit["r"]))
+    E_m = _mont_from_u64(jnp.asarray(wit["E"]))
+    P_m = wit["P_mont"]
+
+    # 1. h binary + row sums (the row-sum CLAIM is checked == 1 by the verifier:
+    # ones' MLE is 1 everywhere, so each row's sum being 1 makes the folded
+    # claim exactly 1)
+    h_range = range_prove(wit["h"], 1, challenges.random_vec(log_n), challenges)
+    h_rowsum = rowsum_prove(h_m, rows, cols, challenges)
+
+    # 2/3. t decomposition + definition at a shared point u_rec
+    u_rec = challenges.random_vec(log_n)
+    dfull_range = range_prove(wit["d_full"], D_FULL_BITS, u_rec, challenges)
+    rem8_range = range_prove(wit["rem8"], REM_BITS, u_rec, challenges)
+    s_at_urec = fr_ops.me_eval(S, u_rec)
+    # Smax selection: hs = h (.) S bound by a hadamard sumcheck (claim = hs MLE
+    # at hs_u, finals chain to h/S claims); Smax = row sums of hs (rowsum
+    # proof); Smax_bcast(u_rec) = Smax(u_rec row part) (broadcast MLE identity)
+    hs = fr.mul(h_m, S)
+    hs_u = challenges.random_vec(log_n)
+    hs_v = challenges.random_vec(log_n)
+    hs_polys, hs_finals = sc.hadamard_prove_scan(h_m, S, hs_u, hs_v)
+    hs_claim = fr_ops.me_eval(hs, hs_u)
+    challenges.absorb_array(hs_polys)
+    smax_rowsum = rowsum_prove(hs, rows, cols, challenges)
+    # Smax as a field tensor (signed values => build by field row sums of hs)
+    hs3 = hs.reshape(rows, cols, 8)
+    smax_m = hs3[:, 0]
+    for c in range(1, cols):
+        smax_m = fr.add(smax_m, hs3[:, c])
+    log_cols = fr_ops.ceil_log2(cols)
+    smax_at_urec_row = fr_ops.me_eval(smax_m, u_rec[log_cols:])
+
+    # 4. clip
+    d_range = range_prove(wit["d"], D_BITS, u_rec, challenges)
+    dgap = wit["d_full"] - wit["d"]
+    dgap_range = range_prove(dgap, D_FULL_BITS, u_rec, challenges)
+    dmax = fr.mont(fr_ops.from_u32(jnp.full((n,), D_MAX, jnp.uint32)))
+    clip_zero = zero_product_prove(
+        fr.sub(dfull_m, d_m), fr.sub(d_m, dmax), challenges
+    )
+
+    # 5. exp lookup on pair values
+    pair_vals = (wit["d"] << np.uint64(E_PAIR)) | wit["e"]
+    a_pairs = _mont_from_u64(jnp.asarray(pair_vals))
+    tab = _mont_from_u64(jnp.asarray(pair_table_vals(d_model)))
+    counts = np.bincount(wit["d"].astype(np.int64), minlength=1 << D_BITS)
+    m_raw = np.zeros((1 << D_BITS, 8), dtype=np.uint32)
+    m_raw[:, 0] = counts.astype(np.uint32)
+    m = fr.mont(jnp.asarray(m_raw))
+    lk = lookup.prove(a_pairs, tab, m, challenges)
+    d_at_lk = fr_ops.me_eval(d_m, lk.v_w)
+    e_at_lk = fr_ops.me_eval(e_m, lk.v_w)
+
+    # 6. division: e*2^16 - P (.) E_bcast - r == 0
+    e_rowsum = rowsum_prove(e_m, rows, cols, challenges)
+    E_bcast = _mont_from_u64(jnp.asarray(np.repeat(wit["E"], cols)))
+    div_u = challenges.random_vec(log_n)
+    div_v = challenges.random_vec(log_n)
+    div_polys, div_finals = sc.hadamard_prove_scan(P_m, E_bcast, div_u, div_v)
+    pE_claim = fr_ops.me_eval(fr.mul(P_m, E_bcast), div_u)
+    e_at_div = fr_ops.me_eval(e_m, div_u)
+    r_at_div = fr_ops.me_eval(r_m, div_u)
+    E_at_divrow = fr_ops.me_eval(E_m, div_u[fr_ops.ceil_log2(cols):])
+    challenges.absorb_array(div_polys)
+    r_range = range_prove(wit["r"], R_BITS, div_u, challenges)
+    er_vals = (wit["E"].repeat(cols) - 1 - wit["r"]).astype(np.uint64)
+    er_range = range_prove(er_vals, R_BITS, div_u, challenges)
+
+    # 7. P row sums + slack
+    p_rowsum = rowsum_prove(P_m, rows, cols, challenges)
+    slack_bits = fr_ops.ceil_log2(cols) + 1
+    slack_range = range_prove(wit["slack"], slack_bits, p_rowsum.u_row, challenges)
+    slack_m = _mont_from_u64(jnp.asarray(wit["slack"]))
+    slack_at_urow = fr_ops.me_eval(slack_m, p_rowsum.u_row)
+
+    return ZkSoftmaxProof(
+        rows, cols, d_model,
+        h_range, h_rowsum,
+        u_rec, dfull_range, rem8_range, s_at_urec,
+        hs_u, hs_v, hs_polys, hs_finals, hs_claim,
+        smax_rowsum, smax_at_urec_row,
+        d_range, dgap_range, clip_zero,
+        lk, d_at_lk, e_at_lk,
+        e_rowsum, div_u, div_v, div_polys, div_finals,
+        e_at_div, r_at_div, pE_claim, E_at_divrow, r_range, er_range,
+        p_rowsum, slack_range, slack_at_urow,
+    )
+
+
+def verify(proof: ZkSoftmaxProof) -> tuple[bool, str]:
+    rows, cols = proof.rows, proof.cols
+    checks: list[tuple[str, tuple[bool, str]]] = []
+    checks.append(("h binary", proof.h_range.verify()))
+    checks.append(("h rowsum", proof.h_rowsum.verify()))
+    # every row of h sums to 1 -> the folded claim is exactly 1
+    if sc.scalars_to_ints(proof.h_rowsum.claim[None])[0] != HF.one_mont:
+        return False, "h rowsum claim != 1"
+    checks.append(("d_full range", proof.dfull_range.verify()))
+    checks.append(("rem8 range", proof.rem8_range.verify()))
+    # t(u_rec) == Smax_bcast(u_rec) - S(u_rec)
+    t_claim = HF.add(
+        HF.mul(HF.mont(1 << BUCKET_SHIFT), proof.dfull_range.value_claim()),
+        proof.rem8_range.value_claim(),
+    )
+    # Smax_bcast's MLE at u_rec = (col vars, row vars) equals Smax(row vars)
+    # since eq-weights over the broadcast column axis sum to 1; the forwarded
+    # smax_at_urec_row claim's own binding is the hs hadamard + smax rowsum
+    # (claims at distinct points chain through the model layer as everywhere
+    # else in this framework).
+    smax_b = sc.scalars_to_ints(proof.smax_at_urec_row[None])[0]
+    s_val = sc.scalars_to_ints(proof.s_at_urec[None])[0]
+    if t_claim != HF.sub(smax_b, s_val):
+        return False, "t != Smax - S at u_rec"
+    res = sc.hadamard_verify(
+        sc.polys_to_ints(proof.hs_polys),
+        sc.scalars_to_ints(proof.hs_u),
+        sc.scalars_to_ints(proof.hs_v),
+        sc.scalars_to_ints(proof.hs_claim[None])[0],
+        *sc.scalars_to_ints(proof.hs_finals),
+    )
+    if not res.ok:
+        return False, "hs hadamard: " + res.reason
+    checks.append(("smax rowsum", proof.smax_rowsum.verify()))
+    checks.append(("d range", proof.d_range.verify()))
+    checks.append(("dgap range", proof.dgap_range.verify()))
+    # d(u_rec) + dgap(u_rec) == d_full(u_rec)
+    if HF.add(proof.d_range.value_claim(), proof.dgap_range.value_claim()) != proof.dfull_range.value_claim():
+        return False, "d + (d_full - d) != d_full at u_rec"
+    checks.append(("clip zero-product", proof.clip_zero.verify()))
+    checks.append(("exp lookup", lookup.verify(proof.lk, table_vals=[int(x) for x in pair_table_vals(proof.d_model)])))
+    # lookup witness MLE == 2^E_PAIR * d + e at the lookup binding point
+    a_vw = sc.scalars_to_ints(proof.lk.a_at_vw[None])[0]
+    d_lk = sc.scalars_to_ints(proof.d_at_lk[None])[0]
+    e_lk = sc.scalars_to_ints(proof.e_at_lk[None])[0]
+    if a_vw != HF.add(HF.mul(HF.mont(1 << E_PAIR), d_lk), e_lk):
+        return False, "lookup pair claim != 2^17 d + e"
+    checks.append(("e rowsum", proof.e_rowsum.verify()))
+    # division relation at div_u: e*2^16 == P.E + r
+    res = sc.hadamard_verify(
+        sc.polys_to_ints(proof.div_polys),
+        sc.scalars_to_ints(proof.div_zero_u),
+        sc.scalars_to_ints(proof.div_zero_v),
+        sc.scalars_to_ints(proof.pE_claim[None])[0],
+        *sc.scalars_to_ints(proof.div_finals),
+    )
+    if not res.ok:
+        return False, "division hadamard: " + res.reason
+    lhs = HF.mul(HF.mont(quantize.SCALE), sc.scalars_to_ints(proof.e_at_div[None])[0])
+    rhs = HF.add(
+        sc.scalars_to_ints(proof.pE_claim[None])[0],
+        sc.scalars_to_ints(proof.r_at_div[None])[0],
+    )
+    if lhs != rhs:
+        return False, "e*2^16 != P*E + r at div point"
+    checks.append(("r range", proof.r_range.verify()))
+    checks.append(("E-1-r range", proof.er_range.verify()))
+    checks.append(("P rowsum", proof.p_rowsum.verify()))
+    checks.append(("slack range", proof.slack_range.verify()))
+    # row sums: P(u_row,.) summed == 2^16 - slack(u_row)
+    want = HF.sub(HF.mont(quantize.SCALE), sc.scalars_to_ints(proof.slack_at_urow[None])[0])
+    if sc.scalars_to_ints(proof.p_rowsum.claim[None])[0] != want:
+        return False, "P rowsum != 2^16 - slack"
+    for name, (ok, msg) in checks:
+        if not ok:
+            return False, f"{name}: {msg}"
+    return True, ""

@@ -126,10 +126,10 @@ def _lookup_core(a, t, m, z, u_w_ip, u_v_ip, u_w, v_w, u_t, v_t):
 
     ones_a = fr.ones_mont((a.shape[0],))
     ones_t = fr.ones_mont((t.shape[0],))
-    w_ip_polys, w_ip_finals = sc.inner_product_prove(w, ones_a, u_w_ip)
-    v_ip_polys, v_ip_finals = sc.inner_product_prove(v, ones_t, u_v_ip)
-    w_hp_polys, w_hp_finals = sc.hadamard_prove(w, az, u_w, v_w)
-    t_hp_polys, t_hp_finals = sc.hadamard_prove(v, tz, u_t, v_t)
+    w_ip_polys, w_ip_finals = sc.inner_product_prove_scan(w, ones_a, u_w_ip)
+    v_ip_polys, v_ip_finals = sc.inner_product_prove_scan(v, ones_t, u_v_ip)
+    w_hp_polys, w_hp_finals = sc.hadamard_prove_scan(w, az, u_w, v_w)
+    t_hp_polys, t_hp_finals = sc.hadamard_prove_scan(v, tz, u_t, v_t)
     m_at_ut = fr_ops.me_eval(m, u_t)
     a_at_vw = fr_ops.me_eval(a, v_w)
     t_at_vt = fr_ops.me_eval(t, v_t)

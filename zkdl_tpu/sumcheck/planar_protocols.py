@@ -100,7 +100,7 @@ def _bin_round(a, w, scale, x):
     c0 = planar.sub(dots[:, 0], planar.lazy_sum(aw))
     c1 = planar.sub(planar.double(dots[:, 1]), planar.lazy_sum(dw))
     c2 = dots[:, 2]
-    polys = planar.mul(jnp.stack([c0, c1, c2], axis=1), jnp.broadcast_to(scale[:, None], (8, 3)))
+    polys = pf.mul_scalar(jnp.stack([c0, c1, c2], axis=1), scale)
     a_n = planar.add(a0, pf.mul_scalar(d, x))
     return jnp.swapaxes(polys, 0, 1), a_n  # (3, 8)
 
@@ -146,7 +146,7 @@ def _hp_round(a, b, w, scale, x):
     c0 = dots[:, 0]
     c1 = planar.add(dots[:, 1], dots[:, 2])
     c2 = dots[:, 3]
-    polys = planar.mul(jnp.stack([c0, c1, c2], axis=1), jnp.broadcast_to(scale[:, None], (8, 3)))
+    polys = pf.mul_scalar(jnp.stack([c0, c1, c2], axis=1), scale)
     a_n = planar.add(a0, pf.mul_scalar(da, x))
     b_n = planar.add(b0, pf.mul_scalar(db, x))
     return jnp.swapaxes(polys, 0, 1), a_n, b_n

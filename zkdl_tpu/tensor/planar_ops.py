@@ -81,12 +81,12 @@ def eq_table_rev(u: jax.Array) -> jax.Array:
     i.e. u[0] controls the TOP stored bit, matching bit-reversed tensors:
     for stored index p = rev(j), T[:, p] == eq(u, j).
     """
+    from ..field import pallas_fr as pf
+
     r = u.shape[0]
     t = planar.ones_mont(1)  # (8, 1)
-    one = planar.ones_mont(1)[:, 0]
     for k in range(r - 1, -1, -1):
-        uk = u[k]
-        hi = planar.mul_scalar(t, uk)
+        hi = pf.mul_scalar(t, u[k])
         lo = planar.sub(t, hi)  # (1-u)*t == t - u*t
         t = jnp.concatenate([lo, hi], axis=1)
     return t
@@ -96,10 +96,12 @@ def eq_table(u: jax.Array) -> jax.Array:
     """Standard-order eq table: T[:, j] = eq(u, j) = prod_k f_{u[k]}(bit_k(j))
     — u[0] controls the LOWEST stored bit. Planar (8, 2^r). Use for
     order-independent weighted sums/contractions (no bit reversal needed)."""
+    from ..field import pallas_fr as pf
+
     r = u.shape[0]
     t = planar.ones_mont(1)
     for k in range(r):
-        hi = planar.mul_scalar(t, u[k])
+        hi = pf.mul_scalar(t, u[k])
         lo = planar.sub(t, hi)
         t = jnp.concatenate([lo, hi], axis=1)
     return t
