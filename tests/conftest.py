@@ -24,7 +24,7 @@ assert jax.default_backend() == "cpu", "unit tests must run on CPU"
 
 # Persistent compile cache: the limb-arithmetic graphs (esp. G1 kernels) are
 # expensive to compile on XLA:CPU; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

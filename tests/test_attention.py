@@ -87,11 +87,16 @@ def test_attention_forward_matches_float():
     assert np.allclose(Y_got, Yf, atol=2e-3), np.abs(Y_got - Yf).max()
 
 
-def test_attention_softmax_row_sums_exact():
+def test_attention_softmax_row_sums_near_scale():
+    # The zksoftmax circuit proves sum_j P_ij = 2^16 - slack_i with
+    # slack_i in [0, cols) range-proved (zksoftmax.py:20,44) — rows need not
+    # sum exactly to SCALE, but must be within the slack bound.
     attn, X, _ = _tiny_attention()
     _, tr = attn.forward(X)
     q = tr["P_raw_vals"]
-    assert (q.sum(axis=1) == quantize.SCALE).all()
+    sums = q.sum(axis=1)
+    assert (sums <= quantize.SCALE).all()
+    assert (sums > quantize.SCALE - attn.seq).all()
     assert (q <= quantize.SCALE).all()
 
 

@@ -397,14 +397,32 @@ def select(pred: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def mont_pow(spec: FieldSpec, base: jax.Array, exponent: int) -> jax.Array:
-    """base^exponent (Montgomery form in/out) for a *static* python-int exponent."""
-    result = jnp.broadcast_to(jnp.asarray(spec.ONE_mont), base.shape)
-    acc = base
+    """base^exponent (Montgomery form in/out) for a *static* python-int exponent.
+
+    Small exponents unroll inline; large ones (e.g. Fermat inversion at p-2)
+    run as a lax.scan over the exponent's bits — one mont_mul+mont_sqr body
+    compiled once instead of ~380 inlined instances (an XLA:CPU compile-time
+    bomb at 255 bits)."""
     e = int(exponent)
-    while e > 0:
-        if e & 1:
-            result = mont_mul(spec, result, acc)
-        e >>= 1
-        if e:
-            acc = mont_sqr(spec, acc)
+    if e.bit_length() <= 16:
+        result = jnp.broadcast_to(jnp.asarray(spec.ONE_mont), base.shape)
+        acc = base
+        while e > 0:
+            if e & 1:
+                result = mont_mul(spec, result, acc)
+            e >>= 1
+            if e:
+                acc = mont_sqr(spec, acc)
+        return result
+
+    bits = jnp.asarray([(e >> i) & 1 for i in range(e.bit_length())], dtype=jnp.uint32)
+
+    def step(carry, bit):
+        result, acc = carry
+        result = jnp.where(bit != 0, mont_mul(spec, result, acc), result)
+        acc = mont_sqr(spec, acc)
+        return (result, acc), None
+
+    init = (jnp.broadcast_to(jnp.asarray(spec.ONE_mont), base.shape), base)
+    (result, _), _ = jax.lax.scan(step, init, bits)
     return result

@@ -11,7 +11,13 @@ def enable_compile_cache(path: str | None = None) -> None:
     disk makes repeat runs start in seconds."""
     import jax
 
-    path = path or os.environ.get("ZKDL_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache"))
+    if path is None:
+        path = os.environ.get("ZKDL_CACHE_DIR")
+    if path is None:
+        root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
+        # per-backend subdir: concurrent CPU test runs and TPU bench runs
+        # sharing one directory have produced corrupt (segfaulting) entries
+        path = os.path.join(root, jax.default_backend())
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
