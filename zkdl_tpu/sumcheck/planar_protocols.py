@@ -42,8 +42,32 @@ from . import protocols as sc
 HF = host.fr
 
 # below this many elements the per-round dispatch latency dominates: hand the
-# tensor to the fused (n, 8) scan provers.
+# tensor to a fused (n, 8) tail prover (one dispatch for all remaining rounds).
 TAIL_N = 1024
+
+# Tail prover flavor: the lax.scan-bodied provers compile fast but run the
+# fixed-size body every round — measured ~350 ms/round on TPU (the scan body
+# can't halve shapes), vs <1 ms/round for the statically-unrolled provers.
+# Use the unrolled ones for the tail on TPU; keep scan on CPU where the
+# unrolled limb graphs are a compile-time hazard and tests run tiny sizes.
+
+
+def _tail_ip(a, b, u):
+    if jax.default_backend() == "tpu":
+        return sc.inner_product_prove_jit(a, b, u)
+    return sc.inner_product_prove_scan(a, b, u)
+
+
+def _tail_bin(a, u, v):
+    if jax.default_backend() == "tpu":
+        return sc.binary_prove_jit(a, u, v)
+    return sc.binary_prove_scan(a, u, v)
+
+
+def _tail_hp(a, b, u, v):
+    if jax.default_backend() == "tpu":
+        return sc.hadamard_prove_jit(a, b, u, v)
+    return sc.hadamard_prove_scan(a, b, u, v)
 
 
 def host_scales(u) -> jax.Array:
@@ -211,7 +235,7 @@ def inner_product_prove(a_rev, b_rev, u):
     if i < r:
         a_t = pops.from_planar_rev(a_rev)
         b_t = pops.from_planar_rev(b_rev)
-        tail_polys, finals = sc.inner_product_prove_scan(a_t, b_t, u[i:])
+        tail_polys, finals = _tail_ip(a_t, b_t, u[i:])
         polys_arr = jnp.concatenate([jnp.stack(polys), tail_polys]) if polys else tail_polys
         return polys_arr, finals
     finals = jnp.stack([a_rev[:, 0], b_rev[:, 0]])
@@ -243,7 +267,7 @@ def binary_prove_bits(bits_rev, u, v):
         i += 1
     if i < r:
         a_t = pops.from_planar_rev(a_rev)
-        tail_polys, final = sc.binary_prove_scan(a_t, u[i:], v[i:])
+        tail_polys, final = _tail_bin(a_t, u[i:], v[i:])
         return jnp.concatenate([jnp.stack(polys), tail_polys]), final
     return jnp.stack(polys), a_rev[:, 0]
 
@@ -276,6 +300,6 @@ def hadamard_prove_bits(a_rev, bits_rev, u, v):
     if i < r:
         a_t = pops.from_planar_rev(a_rev)
         b_t = pops.from_planar_rev(b_rev)
-        tail_polys, finals = sc.hadamard_prove_scan(a_t, b_t, u[i:], v[i:])
+        tail_polys, finals = _tail_hp(a_t, b_t, u[i:], v[i:])
         return jnp.concatenate([jnp.stack(polys), tail_polys]), finals
     return jnp.stack(polys), jnp.stack([a_rev[:, 0], b_rev[:, 0]])

@@ -151,6 +151,13 @@ def binary_prove(a: jax.Array, u: jax.Array, v: jax.Array):
     return jnp.stack(polys), a[0]
 
 
+# Fused single-dispatch forms of the unrolled provers (used as planar tail
+# provers on TPU: whole remaining round ladder in one executable).
+inner_product_prove_jit = jax.jit(inner_product_prove)
+hadamard_prove_jit = jax.jit(hadamard_prove)
+binary_prove_jit = jax.jit(binary_prove)
+
+
 # ---------------------------------------------------------------------------
 # scan-based provers (bit-identical streams, one compiled round body)
 # ---------------------------------------------------------------------------
