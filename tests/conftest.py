@@ -22,11 +22,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "unit tests must run on CPU"
 
-# Persistent compile cache: the limb-arithmetic graphs (esp. G1 kernels) are
-# expensive to compile on XLA:CPU; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache on CPU: XLA:CPU executable (de)serialization is
+# experimental and segfaults the interpreter mid-suite (reproduced r2/r3 in
+# both the read path — compilation_cache.get_executable_and_time →
+# deserialize_executable — and the write path, warm or cold cache). Tests pay
+# cold compiles; the TPU bench/demo keep their own per-backend cache
+# (utils/runtime.enable_compile_cache, which now refuses the cpu backend).
 
 
 @pytest.fixture(autouse=True)

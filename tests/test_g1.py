@@ -114,3 +114,16 @@ def test_g1_me_eval():
             nxt.append(host_g1.add(cur[2 * i], host_g1.scalar_mul(d, u)))
         cur = nxt
     assert host_g1.eq_points(got, cur[0])
+
+
+def test_generator_pow_comb_matches_double_and_add():
+    import jax
+
+    from zkdl_tpu.curve import convert, g1, host_g1
+    from zkdl_tpu.tensor import fr_ops
+
+    scalars = fr_ops.random_fr(jax.random.PRNGKey(123), 4)
+    comb = g1.generator_pow_jit(scalars)
+    ref = g1.scalar_mul_jit(g1.generator((4,)), scalars)
+    for a, b in zip(convert.jac_from_device(comb), convert.jac_from_device(ref)):
+        assert host_g1.eq_points(a, b)

@@ -52,12 +52,56 @@ def test_planar_model_proof_identical(tiny_model, monkeypatch):
     assert np.array_equal(np.asarray(Y1), np.asarray(Y2))
     for z1, z2 in zip(Z1, Z2):
         assert np.array_equal(np.asarray(z1), np.asarray(z2))
-    proof_new = model.prove(X, Y2, Z2, A2, aux2, SeededRng(42))
+    # chain=False: the unchained planar stream must match the (n, 8) prover's
+    proof_new = model.prove(X, Y2, Z2, A2, aux2, SeededRng(42), chain=False)
 
     _tree_equal(proof_old, proof_new, "proof")
 
     ok, msg = model.verify(proof_new)
     assert ok, msg
+
+
+def test_chained_model_verify_and_tamper(tiny_model):
+    """Chained mode: full verify with public anchors passes; tampering with any
+    link of the chain (intermediate activations, aux witnesses, claimed
+    output) is rejected."""
+    model, X = tiny_model
+    Y, Z, A, aux = model.infer(X)
+    proof = model.prove(X, Y, Z, A, aux)  # chain on by default (planar)
+    assert proof.relu_proofs[0].a_polys is not None
+    ok, msg = model.verify(proof, X=X, Y_hat=Y)
+    assert ok, msg
+
+    # tamper 1: corrupt the intermediate pre-activation Z[0] -> the chain from
+    # the output anchor must break somewhere
+    Z_bad = [jnp.asarray(np.asarray(z)) for z in Z]
+    zb = np.asarray(Z_bad[0]).copy()
+    zb[0, 0] ^= 1
+    Z_bad[0] = jnp.asarray(zb)
+    proof_bad = model.prove(X, Y, Z_bad, A, aux)
+    ok, msg = model.verify(proof_bad, X=X, Y_hat=Y)
+    assert not ok, "tampered Z must be rejected"
+
+    # tamper 2: corrupt an aux magnitude witness -> recombination identity fails
+    aux_bad = [dict(a) for a in aux]
+    mag = np.asarray(aux_bad[0]["mag"]).copy()
+    mag[0] += 1
+    aux_bad[0]["mag"] = jnp.asarray(mag)
+    proof_bad = model.prove(X, Y, Z, A, aux_bad)
+    ok, msg = model.verify(proof_bad, X=X, Y_hat=Y)
+    assert not ok, "tampered mag witness must be rejected"
+
+    # tamper 3: claim a wrong public output
+    yb = np.asarray(Y).copy()
+    yb[0, 0] ^= 1
+    ok, msg = model.verify(proof, X=X, Y_hat=jnp.asarray(yb))
+    assert not ok and "output claim" in msg
+
+    # tamper 4: wrong public input
+    xb = np.asarray(X).copy()
+    xb[0, 0] ^= 1
+    ok, msg = model.verify(proof, X=jnp.asarray(xb), Y_hat=Y)
+    assert not ok and "input claim" in msg
 
 
 def test_forward_compact_matches_forward():

@@ -72,9 +72,22 @@ def configure(**overrides) -> Config:
 
 
 def _apply(cfg: Config) -> None:
-    """Propagate config into the modules that read module-level constants."""
-    from .models import mlp
+    """Propagate config into the modules that read module-level constants.
+
+    Call `configure(...)` BEFORE the first prover/forward use: width and
+    chunk knobs feed jitted kernels as static arguments or trace-time
+    constants, so later reconfiguration of dot_chunk/pallas_block_rows can
+    leave stale compiled graphs for already-used shapes."""
+    from .field import pallas_fr, planar
+    from .models import mlp, quantize, zkrelu
     from .sumcheck import planar_protocols
 
     mlp.USE_PLANAR_PROVER = cfg.use_planar_prover
     planar_protocols.TAIL_N = cfg.planar_tail_n
+    if (zkrelu.Q, zkrelu.R) != (cfg.relu_mag_bits, cfg.relu_rem_bits):
+        zkrelu.set_widths(cfg.relu_mag_bits, cfg.relu_rem_bits)
+    quantize.SCALE_BITS = cfg.scale_bits
+    quantize.SCALE = 1 << cfg.scale_bits
+    planar.DOT_CHUNK = cfg.dot_chunk
+    pallas_fr.BLOCK_ROWS = cfg.pallas_block_rows
+    pallas_fr.BLOCK = cfg.pallas_block_rows * 128

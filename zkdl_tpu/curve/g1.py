@@ -17,6 +17,7 @@ cross-checks), plus a faster fixed-window variant for production use.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -210,6 +211,77 @@ def scalar_mul_windowed(p: G1Jac, scalar: jax.Array, window: int = 4) -> G1Jac:
         return add(out, G1Jac(px, py, pz))
 
     return jax.lax.fori_loop(0, n_windows, body, identity(p.shape))
+
+
+# ---------------------------------------------------------------------------
+# fixed-base exponentiation of the generator (comb method)
+# ---------------------------------------------------------------------------
+#
+# All commitment-side exponentiations on the transparent fast path are powers
+# of the ONE fixed generator G (pedersen.py: setup, commit, open). A 4-bit
+# comb table T[j][k] = k * 2^(4j) * G (64 windows x 16 entries, precomputed on
+# host once) turns a 256-bit exponentiation into 64 mixed adds — ~8x fewer
+# field muls than the reference's 256-bit double-and-add (g1-tensor.cu:422-431),
+# with no doublings at all. This is the algorithmic resurrection of the
+# reference's dead fixed-window multiexp idea (bls12-381.cu:1446-1506) adapted
+# to a single shared base.
+
+_COMB_W = 4
+_COMB_WINDOWS = 256 // _COMB_W
+
+
+@functools.lru_cache(maxsize=None)
+def _comb_table() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-precomputed (64, 16, 12) Montgomery-Fp affine coords (x, y) and an
+    identity mask (64, 16) (k = 0 entries are placeholders, masked at use)."""
+    from . import convert, host_g1
+
+    n_w, n_k = _COMB_WINDOWS, 1 << _COMB_W
+    xs = np.zeros((n_w, n_k, 12), dtype=np.uint32)
+    ys = np.zeros((n_w, n_k, 12), dtype=np.uint32)
+    ident = np.zeros((n_w, n_k), dtype=bool)
+    row = [host_g1.IDENTITY, host_g1.GENERATOR]
+    for k in range(2, n_k):
+        row.append(host_g1.add(row[k - 1], host_g1.GENERATOR))
+    for j in range(n_w):
+        for k in range(n_k):
+            pt = row[k]
+            aff = host_g1.to_affine(pt)
+            if aff is None:
+                ident[j, k] = True
+            else:
+                xs[j, k] = mp.limbs_from_int(fp.SPEC.to_mont_int(aff[0]), 12)
+                ys[j, k] = mp.limbs_from_int(fp.SPEC.to_mont_int(aff[1]), 12)
+        if j + 1 < n_w:
+            row = [row[k] for k in range(n_k)]
+            for _ in range(_COMB_W):
+                row = [host_g1.double(p) for p in row]
+    return xs, ys, ident
+
+
+def generator_pow(scalar: jax.Array) -> G1Jac:
+    """G ^ scalar for non-Montgomery scalars uint32[..., 8]: 64 table-lookup
+    mixed adds via the fixed-base comb, as a lax.fori_loop (ONE compiled add
+    body — the G1 formulas are the largest graphs in the repo). Group-equal to
+    scalar_mul(generator(shape), scalar); Jacobian coordinates differ."""
+    xs, ys, _ = _comb_table()
+    txs, tys = jnp.asarray(xs), jnp.asarray(ys)
+    shifts = jnp.arange(0, 32, _COMB_W, dtype=jnp.uint32)
+    digits = (scalar[..., :, None] >> shifts) & jnp.uint32((1 << _COMB_W) - 1)
+    digits = digits.reshape(*scalar.shape[:-1], _COMB_WINDOWS)  # LSB-first
+
+    def body(j, out):
+        d = jax.lax.dynamic_index_in_dim(digits, j, axis=-1, keepdims=False)
+        row_x = jax.lax.dynamic_index_in_dim(txs, j, axis=0, keepdims=False)
+        row_y = jax.lax.dynamic_index_in_dim(tys, j, axis=0, keepdims=False)
+        q = G1Affine(jnp.take(row_x, d, axis=0), jnp.take(row_y, d, axis=0))
+        added = add_mixed(out, q)
+        return select(d == 0, out, added)  # k = 0 table slots are the identity
+
+    return jax.lax.fori_loop(0, _COMB_WINDOWS, body, identity(scalar.shape[:-1]))
+
+
+generator_pow_jit = jax.jit(generator_pow)
 
 
 # Module-level jitted primitives: the ONLY compile units for G1 work. Larger

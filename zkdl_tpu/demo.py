@@ -64,7 +64,9 @@ def main(argv=None):
 
     if args.verify:
         t0 = time.perf_counter()
-        ok, msg = model.verify(proof)
+        # chained verify with public anchors: the claim chain is walked from
+        # the public output Y_hat down to the public input X
+        ok, msg = model.verify(proof, X=X, Y_hat=Y_hat)
         print(f"Verification: {'OK' if ok else 'FAILED: ' + msg} ({time.perf_counter() - t0:.2f}s)")
         return 0 if ok else 1
     return 0

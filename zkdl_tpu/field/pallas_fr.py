@@ -298,6 +298,9 @@ def dot_cols_raw(a: jax.Array, b: jax.Array) -> jax.Array:
     a2, n = _pad_to_block(a)
     b2, _ = _pad_to_block(b)
     grid = a2.shape[1] // BLOCK
+    # the in-kernel split accumulation adds < 2^16 + 2^11 per grid step; the
+    # u32 accumulator is exact for up to 2^15 steps (_dot_cols_kernel docstring)
+    assert grid <= 1 << 15, f"dot grid {grid} exceeds the u32 accumulator bound (2^15 blocks)"
     return _pcall(
         _dot_cols_kernel,
         jax.ShapeDtypeStruct((ACC_ROWS, 128), jnp.uint32),

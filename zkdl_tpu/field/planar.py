@@ -28,12 +28,28 @@ implementations.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import fr, mp
+
+
+def debug_assert_below(x: jax.Array, bound: int, what: str) -> None:
+    """Env-gated (ZKDL_DEBUG_OVERFLOW=1) runtime bound check on lazy
+    accumulators (SURVEY §5.2 rebuild item): raises from a host callback if any
+    lane reaches `bound`, so chunk-size tuning can't silently corrupt proofs.
+    Free when the env var is unset (no ops emitted)."""
+    if not os.environ.get("ZKDL_DEBUG_OVERFLOW"):
+        return
+
+    def cb(m):
+        if int(m) >= bound:
+            raise OverflowError(f"lazy-accumulator overflow guard: {what}: max {int(m)} >= {bound}")
+
+    jax.debug.callback(cb, jnp.max(x))
 
 U32 = np.uint32
 MASK16 = np.uint32(0xFFFF)
@@ -337,6 +353,10 @@ def dot(a: jax.Array, b: jax.Array) -> jax.Array:
     if not _digit_path():
         return _dot_via_mp(a, b)
     c = min(DOT_CHUNK, _next_pow2(n))
+    # overflow invariant: per-(i,j)-digit-pair chunk sums are < c * 2^16 and
+    # must stay exact in u32 (docstring) — c <= 2^13 keeps them < 2^29, leaving
+    # headroom for the ~48-term column accumulation that follows.
+    assert c <= 1 << 13, f"DOT_CHUNK={c} violates the u32 lazy-sum overflow bound (max 2^13)"
     pad = (-n) % c
     if pad:
         padw = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
@@ -371,6 +391,7 @@ def dot(a: jax.Array, b: jax.Array) -> jax.Array:
                 acc(k + 2, hi >> 16)
     z = jnp.zeros((*batch, m), dtype=jnp.uint32)
     cols = [col if col is not None else z for col in cols]
+    debug_assert_below(jnp.stack(cols, axis=-1), 1 << 30, "planar.dot columns")
     # cols: (m,) u32, each < 2^22. The chunk total S = sum_e a_e*b_e < c * p^2
     # < 2^523 — larger than REDC's T < p*R precondition. Split S = S0 + S1*R
     # + S2*R^2 (R = 2^256 = 16 digits): S*R^-1 mod p = REDC(S0) + (S1 mod p)
@@ -439,10 +460,12 @@ def masked_sum(mask: jax.Array, w: jax.Array) -> jax.Array:
     w3 = w.reshape(N_LIMBS, *batch, m, c)
     mask3 = mask.reshape(*batch, m, c)
     wd = _to_digits_nd(w3)  # 16 x (*batch, m, c)
+    assert c <= 1 << 13, f"DOT_CHUNK={c} violates the u32 lazy-sum overflow bound (max 2^13)"
     cols = []
     for k in range(N_DIGITS):
         v = jnp.where(mask3, wd[k], 0)
         cols.append(jnp.sum(v, axis=-1, dtype=jnp.uint32))  # < c * 2^16 <= 2^29
+    debug_assert_below(jnp.stack(cols, axis=-1), 1 << 30, "planar.masked_sum columns")
     digs = _carry_digits(cols, N_DIGITS + 1)  # value < 2^13 * 2^255 => 17 digits
     low = _from_digits(digs[:N_DIGITS])  # < 2^256 < 4.45 * p
     for _ in range(3):

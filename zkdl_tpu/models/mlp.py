@@ -70,10 +70,22 @@ class MLP:
         Y_hat = self.layers[-1](A)
         return Y_hat, Z_list, A_list, aux_list
 
-    def prove(self, X, Y_hat, Z_list, A_list, aux_list, challenges: ChallengeSource | None = None):
-        """Backwards proving loop (demo.cu:128-137). Returns MLPProof."""
+    def prove(self, X, Y_hat, Z_list, A_list, aux_list, challenges: ChallengeSource | None = None,
+              chain: bool | None = None):
+        """Backwards proving loop (demo.cu:128-137). Returns MLPProof.
+
+        chain=True (default on the planar path) produces a GKR-style chained
+        proof: every FC's output claim shares its evaluation point with the
+        adjacent ReLU's sumchecks, so `verify` can walk a single claim chain
+        from the public output down to the public input. chain=False matches
+        the reference's independent per-layer proofs (and the (n, 8) prover's
+        stream bit-for-bit)."""
         if challenges is None:
             challenges = FiatShamir()
+        if chain is None:
+            chain = USE_PLANAR_PROVER
+        if chain and not USE_PLANAR_PROVER:
+            raise ValueError("chained proofs require the planar prover")
         fc_prove = zkfc.prove_planar if USE_PLANAR_PROVER else zkfc.prove
         relu_prove = zkrelu.prove_planar if USE_PLANAR_PROVER else zkrelu.prove
         n = len(self.layers)
@@ -81,12 +93,27 @@ class MLP:
         relu_proofs: list = [None] * (n - 1)
         fc_proofs[n - 1] = fc_prove(self.layers[n - 1], A_list[n - 2] if n >= 2 else X, Y_hat, challenges)
         for i in range(n - 2, -1, -1):
-            relu_proofs[i] = relu_prove(Z_list[i], aux_list[i], challenges)
             A_prev = A_list[i - 1] if i > 0 else X
-            fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges)
+            if chain:
+                w = jnp.concatenate([fc_proofs[i + 1].u_in, fc_proofs[i + 1].u_bs], axis=0)
+                relu_proofs[i] = zkrelu.prove_planar(Z_list[i], aux_list[i], challenges, chain_point=w)
+                fc_proofs[i] = zkfc.prove_planar(
+                    self.layers[i], A_prev, Z_list[i], challenges, z_point=relu_proofs[i].u_recover
+                )
+            else:
+                relu_proofs[i] = relu_prove(Z_list[i], aux_list[i], challenges)
+                fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges)
         return MLPProof(fc_proofs, relu_proofs)
 
-    def verify(self, proof: "MLPProof") -> tuple[bool, str]:
+    def verify(self, proof: "MLPProof", X=None, Y_hat=None) -> tuple[bool, str]:
+        """Verify every layer proof, and — for chained proofs — the cross-layer
+        claim chain: Y_hat's MLE anchors fc[n-1]'s z-claim (public output);
+        each fc[i+1]'s X-side final is the initial claim of relu[i]'s
+        A = sign (.) mag sumcheck; relu[i]'s emitted X(v_a) is fc[i]'s z-claim
+        at the shared point; fc[0]'s X-side final is checked against the public
+        input X's MLE. Pass X / Y_hat to enable the public end anchors."""
+        from ..sumcheck import protocols as sc
+
         n = len(self.layers)
         for i in range(n):
             ok, msg = zkfc.verify(self.layers[i].com, proof.fc_proofs[i])
@@ -96,6 +123,36 @@ class MLP:
             ok, msg = zkrelu.verify(proof.relu_proofs[i])
             if not ok:
                 return False, f"relu[{i}]: {msg}"
+        chained = n >= 2 and proof.relu_proofs[0].a_polys is not None
+        if chained:
+            for i in range(n - 2, -1, -1):
+                rp = proof.relu_proofs[i]
+                nxt = proof.fc_proofs[i + 1]
+                w = jnp.concatenate([nxt.u_in, nxt.u_bs], axis=0)
+                if not np.array_equal(np.asarray(rp.a_point), np.asarray(w)):
+                    return False, f"relu[{i}]: chain point != fc[{i+1}]'s X point"
+                a_claim = sc.scalars_to_ints(nxt.ip_finals)[0]
+                ok, msg = zkrelu.verify_chained(rp, a_claim)
+                if not ok:
+                    return False, f"relu[{i}]: {msg}"
+                fcp = proof.fc_proofs[i]
+                zp = jnp.concatenate([fcp.u_out, fcp.u_bs], axis=0)
+                if not np.array_equal(np.asarray(zp), np.asarray(rp.u_recover)):
+                    return False, f"fc[{i}]: z point not chained to relu[{i}].v_a"
+                if sc.scalars_to_ints(fcp.z_claim[None]) != sc.scalars_to_ints(rp.x_at_va[None]):
+                    return False, f"fc[{i}]: z claim != relu[{i}].X(v_a)"
+            if Y_hat is not None:
+                top = proof.fc_proofs[n - 1]
+                pt = jnp.concatenate([top.u_out, top.u_bs], axis=0)
+                y_eval = fr_ops.me_eval(fr_ops.pad_to(Y_hat, 1 << pt.shape[0]), pt)
+                if sc.scalars_to_ints(y_eval[None]) != sc.scalars_to_ints(top.z_claim[None]):
+                    return False, "fc[-1]: output claim != Y_hat MLE (public anchor)"
+            if X is not None:
+                bot = proof.fc_proofs[0]
+                pt = jnp.concatenate([bot.u_in, bot.u_bs], axis=0)
+                x_eval = fr_ops.me_eval(fr_ops.pad_to(X, 1 << pt.shape[0]), pt)
+                if sc.scalars_to_ints(x_eval[None]) != [sc.scalars_to_ints(bot.ip_finals)[0]]:
+                    return False, "fc[0]: input claim != X MLE (public anchor)"
         return True, ""
 
 
@@ -114,6 +171,8 @@ class MLPProof:
             np.asarray(p.opening.final_gen.x)  # G1 batch is the layer's last dispatch
         for p in self.relu_proofs:
             np.asarray(p.hp_polys[-1])
+            if p.a_polys is not None:
+                np.asarray(p.a_polys[-1])
         return self
 
 

@@ -50,7 +50,12 @@ def load_weights(w: np.ndarray) -> jax.Array:
     (demo.cu:72-78)."""
     w = pad_pow2_2d(jnp.asarray(w, dtype=jnp.float32))
     q = float_to_fr(w)
-    return fr.mont(q.reshape(-1, 8))
+    # mont via the blocked pallas planar kernel: mp.to_mont's digit outer
+    # product would materialize (n, 512) i32 temporaries — 8.6 GB for an
+    # 18M-param layer — where the pallas path streams fixed-size blocks.
+    from ..field import planar
+
+    return planar.from_planar(planar.to_mont(planar.to_planar(q.reshape(-1, 8))))
 
 
 def load_input(x: np.ndarray) -> jax.Array:

@@ -85,14 +85,21 @@ _POS_MAX_47 = np.array([4294967295, 32767, 0, 0, 0, 0, 0, 0], dtype=np.uint32)
 def _signed_digits(v: jax.Array):
     """Montgomery Fr (n, 8) -> (pos_digits, neg_digits) int8 (n, 7) of the
     value's magnitude, split by sign (values must lie in (-2^47, 2^47) — the
-    protocol invariant zkReLU already assumes, zkrelu.cu:18-27)."""
-    from ..field import mp
+    protocol invariant zkReLU already assumes, zkrelu.cu:18-27).
 
-    x = fr.unmont(v)
-    pos = mp._gte(jnp.broadcast_to(jnp.asarray(_POS_MAX_47), x.shape), x)
-    neg_mag = fr.neg(x)
-    lo = jnp.where(pos, x[:, 0], neg_mag[:, 0])
-    hi = jnp.where(pos, x[:, 1], neg_mag[:, 1])
+    The unmont runs through the blocked pallas planar kernel: the mp.mont_mul
+    digit outer product would materialize (n, 512) i32 temporaries — 8.6 GB for
+    an 18M-param layer's weights — while the pallas path streams 8x8192 blocks.
+    """
+    from ..field import planar
+
+    xP = planar.from_mont(planar.to_planar(v))  # (8, n) raw value, canonical
+    # x <= 2^47 - 1  <=>  limb1 < 2^15 and limbs 2..7 all zero (_POS_MAX_47)
+    hi_or = xP[2] | xP[3] | xP[4] | xP[5] | xP[6] | xP[7]
+    pos = (xP[1] <= jnp.uint32(32767)) & (hi_or == 0)
+    negP = planar.neg(xP)
+    lo = jnp.where(pos, xP[0], negP[0])
+    hi = jnp.where(pos, xP[1], negP[1])
 
     digits = []
     for k in range(_N_DIGITS):
@@ -109,31 +116,6 @@ def _signed_digits(v: jax.Array):
     return jnp.where(posb, dig, 0), jnp.where(posb, 0, dig)
 
 
-@functools.lru_cache(maxsize=None)
-def _col_weights_mont2() -> np.ndarray:
-    """K_c = 2^(7c) * R^2 mod p as limb constants: fr.mul(raw_col, K_c) ==
-    mont(col * 2^(7c)) — lifts int32 column sums straight into Montgomery form."""
-    from ..field import mp
-
-    R2 = (fr.SPEC.r * fr.SPEC.r) % fr.P_INT
-    return np.stack([
-        mp.limbs_from_int((1 << (_DIGIT_BITS * c)) * R2 % fr.P_INT, 8)
-        for c in range(_N_COLS)
-    ])
-
-
-def _digit_matmul(a_dig: jax.Array, b_dig: jax.Array, batch: int, in_size: int, out_size: int) -> jax.Array:
-    """(batch*in, 7) x (in*out, 7) int8 -> int32 digit-pair products summed over
-    `in`, as ONE MXU matmul: (7*batch, in) @ (in, 7*out) -> (batch,7,out,7)."""
-    A = a_dig.reshape(batch, in_size, _N_DIGITS).transpose(0, 2, 1).reshape(batch * _N_DIGITS, in_size)
-    B = b_dig.reshape(in_size, out_size, _N_DIGITS).transpose(0, 2, 1).reshape(in_size, _N_DIGITS * out_size)
-    # per-element accumulation over in_size: <= 2^11 * 127^2 < 2^25, exact in i32
-    R = jax.lax.dot_general(
-        A, B, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    return R.reshape(batch, _N_DIGITS, _N_DIGITS, out_size)  # [b, d1, d2, o]
-
-
 def _combine_columns(R: jax.Array) -> jax.Array:
     """(b, d1, d2, o) int32 -> (b, o, n_cols) column sums c = d1 + d2."""
     b, _, _, o = R.shape
@@ -144,13 +126,40 @@ def _combine_columns(R: jax.Array) -> jax.Array:
     return jnp.stack(cols, axis=-1)  # (b, o, n_cols) each < 2^29
 
 
+def _lift_cols_to_mont(cols: jax.Array) -> jax.Array:
+    """(..., _N_COLS) int32 radix-2^7 column sums (each < 2^30, non-negative)
+    -> planar (8, ...) Montgomery Fr of V = sum_c cols_c * 2^(7c).
+
+    Assembles V's 16-bit digits with shifted adds (V < 2^114 < p, so the digits
+    are already canonical), then ONE blocked pallas Montgomery mul by R^2 lifts
+    to Montgomery form. This replaces the previous per-column fr.mul lift whose
+    mp.mont_mul temporaries (u32[b, o, 13, 256]) OOM'd HBM at the zkdl256
+    config — and costs 1 field mul per output element instead of 13.
+    """
+    from ..field import planar
+
+    v = cols.astype(jnp.uint32)
+    digs = [jnp.zeros(cols.shape[:-1], jnp.uint32) for _ in range(planar.N_DIGITS)]
+    for c in range(cols.shape[-1]):
+        q, r0 = divmod(_DIGIT_BITS * c, 16)
+        vc = v[..., c]
+        # vc << r0 spans bits [r0, r0+30) -> 16-bit digit slots q, q+1, (q+2)
+        digs[q] = digs[q] + ((vc << np.uint32(r0)) & np.uint32(0xFFFF))
+        digs[q + 1] = digs[q + 1] + ((vc >> np.uint32(16 - r0)) & np.uint32(0xFFFF))
+        if r0 > 2:  # vc < 2^30: a third slot exists only when 30 + r0 > 32
+            digs[q + 2] = digs[q + 2] + (vc >> np.uint32(32 - r0))
+    # each slot sums <= 13 parts < 2^16 -> < 2^20, safe in u32
+    raw = planar._from_digits(planar._carry_digits(digs, planar.N_DIGITS))
+    return planar.to_mont(raw)  # (8, ...) mont, via the pallas kernel
+
+
 def field_matmul_fast(X: jax.Array, W: jax.Array, in_size: int, out_size: int) -> jax.Array:
     """MXU int8 field matmul. Exploits the protocol's bounded-magnitude
     invariant (all values in (-2^47, 2^47), cf. zkrelu.cu:18): operands are
-    sign-split into 7-bit digit matrices, multiplied with four int8 MXU matmuls
-    ((7b, in) @ (in, 7o) each), and the int32 digit-column sums are lifted back
-    into Montgomery Fr with one small fused combine (13 fr-muls per output
-    element instead of `in_size` full field muls for the naive path).
+    sign-split into 7-bit digit matrices, multiplied with two int8 MXU matmuls
+    ((7b, 2*in) @ (2*in, 7o): same-sign products in one, cross-sign in the
+    other), and the int32 digit-column sums are lifted back into Montgomery Fr
+    with one blocked pallas Montgomery mul per output element.
 
     Group-identical output to `field_matmul` whenever operand magnitudes are in
     range; out-of-range models (invalid for zkReLU anyway) would differ.
@@ -159,26 +168,30 @@ def field_matmul_fast(X: jax.Array, W: jax.Array, in_size: int, out_size: int) -
     xp, xn = _signed_digits(X)
     wp, wn = _signed_digits(W)
 
-    Rpp = _digit_matmul(xp, wp, batch, in_size, out_size)
-    Rnn = _digit_matmul(xn, wn, batch, in_size, out_size)
-    Rpn = _digit_matmul(xp, wn, batch, in_size, out_size)
-    Rnp = _digit_matmul(xn, wp, batch, in_size, out_size)
+    # (7b, 2in): in-axis is [xp block ; xn block]
+    A = jnp.concatenate(
+        [xp.reshape(batch, in_size, _N_DIGITS), xn.reshape(batch, in_size, _N_DIGITS)],
+        axis=1,
+    ).transpose(0, 2, 1).reshape(batch * _N_DIGITS, 2 * in_size)
+    Wp = wp.reshape(in_size, out_size, _N_DIGITS).transpose(0, 2, 1).reshape(in_size, _N_DIGITS * out_size)
+    Wn = wn.reshape(in_size, out_size, _N_DIGITS).transpose(0, 2, 1).reshape(in_size, _N_DIGITS * out_size)
+    Bpos = jnp.concatenate([Wp, Wn], axis=0)  # xp@wp + xn@wn
+    Bneg = jnp.concatenate([Wn, Wp], axis=0)  # xp@wn + xn@wp
 
-    cols_pos = _combine_columns(Rpp) + _combine_columns(Rnn)  # < 2^30
-    cols_neg = _combine_columns(Rpn) + _combine_columns(Rnp)
+    def mm(B):
+        # accumulation over 2*in_size <= 2^12 of 127^2 products < 2^26: exact i32
+        R = jax.lax.dot_general(
+            A, B, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return R.reshape(batch, _N_DIGITS, _N_DIGITS, out_size)
 
-    K = jnp.asarray(_col_weights_mont2())  # (n_cols, 8)
+    cols_pos = _combine_columns(mm(Bpos))  # (b, o, 13), each < 2^30
+    cols_neg = _combine_columns(mm(Bneg))
 
-    def lift(cols):
-        raw = jnp.zeros((*cols.shape, 8), dtype=jnp.uint32).at[..., 0].set(cols.astype(jnp.uint32))
-        terms = fr.mul(raw, jnp.broadcast_to(K, raw.shape))  # mont(col * 2^(7c))
-        acc = terms[..., 0, :]
-        for c in range(1, _N_COLS):
-            acc = fr.add(acc, terms[..., c, :])
-        return acc
+    from ..field import planar
 
-    Z = fr.sub(lift(cols_pos), lift(cols_neg))  # (b, o, 8) mont
-    return Z.reshape(batch * out_size, 8)
+    Zp = planar.sub(_lift_cols_to_mont(cols_pos), _lift_cols_to_mont(cols_neg))
+    return jnp.moveaxis(Zp, 0, -1).reshape(batch * out_size, 8)
 
 
 field_matmul_fast_jit = jax.jit(field_matmul_fast, static_argnums=(2, 3))
@@ -296,15 +309,28 @@ def prove(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) 
     return proof
 
 
-def prove_planar(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) -> ZkFCProof:
+def prove_planar(
+    layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource,
+    z_point: jax.Array | None = None,
+) -> ZkFCProof:
     """Planar/pallas prover; challenge order and proof stream identical to
-    prove() (tests assert)."""
+    prove() (tests assert) when z_point is None.
+
+    Chained mode: z_point (log_out + log_batch, 8) fixes (u_out || u_bs) to
+    the adjacent ReLU's shared evaluation point v_a, so this proof's z_claim
+    must equal that proof's emitted X(v_a) — only u_in is drawn fresh."""
     from ..sumcheck import planar_protocols as pp
 
     batch = X.shape[0] // layer.in_size
-    u_bs = challenges.random_vec(fr_ops.ceil_log2(batch))
-    u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))
-    u_out = challenges.random_vec(fr_ops.ceil_log2(layer.out_size))
+    if z_point is None:
+        u_bs = challenges.random_vec(fr_ops.ceil_log2(batch))
+        u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))
+        u_out = challenges.random_vec(fr_ops.ceil_log2(layer.out_size))
+    else:
+        lo = fr_ops.ceil_log2(layer.out_size)
+        assert z_point.shape[0] == lo + fr_ops.ceil_log2(batch), (z_point.shape, lo, batch)
+        u_out, u_bs = z_point[:lo], z_point[lo:]
+        u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))
     X_folded, W_folded, z_claim = _fc_prep_planar(
         X, layer.weights, Z, u_bs, u_in, u_out, layer.in_size, layer.out_size
     )

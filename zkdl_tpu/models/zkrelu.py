@@ -40,99 +40,140 @@ from ..tensor import planar_ops as pops
 HF = host.fr
 
 LOG_Q, Q = 5, 32  # mag_rescaled bit width (zkrelu.cu:74-77)
-LOG_R, R = 4, 16  # remainder width (15 bits + sign)
+LOG_R, R = 4, 16  # remainder width (R-1 magnitude bits + sign)
+SCALE_OUT_BITS = 16  # requantization shift == R: mag_rescaled = (mag - rem) >> R
 
-# 2^47 - 1 and p - 2^47 as limb constants (zkrelu.cu:18,23)
-_POS_MAX = np.array([4294967295, 32767, 0, 0, 0, 0, 0, 0], dtype=np.uint32)
-_NEG_MIN = np.array([1, 4294934527, 4294859774, 1404937218, 161601541, 859428872, 698187080, 1944954707], dtype=np.uint32)
-_BIAS_2_47 = np.array([0, 32768, 0, 0, 0, 0, 0, 0], dtype=np.uint32)
+# Derived threshold constants. The sign threshold is 2^(Q+R-1): a magnitude
+# occupies Q + R bits, so positives are x <= 2^(Q+R-1) - 1 and negatives
+# x >= p - 2^(Q+R-1) (zkrelu.cu:18,23 hardcodes the Q=32/R=16 instance, 2^47).
+_POS_MAX = np.zeros(8, np.uint32)
+_NEG_MIN = np.zeros(8, np.uint32)
+_BIAS = np.zeros(8, np.uint32)
 
 
-@jax.jit
-def forward(X: jax.Array):
-    """X: (n, 8) Montgomery Fr. Returns (Z, aux dict with sign/mag_bin/rem_bin).
-
-    Exact semantics of relu_kernel (zkrelu.cu:11-41). Elements outside the valid
-    signed-48-bit range take the positive branch (the reference leaves `sign`
-    uninitialized there — undefined behavior we replace with a defined default).
-    """
+def set_widths(q: int, r: int) -> None:
+    """(Re)derive all width-dependent constants. Called at import for the
+    reference widths and by config._apply for overrides; jitted kernels take
+    (Q, R) as static args so a reconfigure can't hit stale compile caches."""
+    global Q, R, LOG_Q, LOG_R, SCALE_OUT_BITS, _POS_MAX, _NEG_MIN, _BIAS
+    assert 2 <= r <= 32 and 1 <= q <= 32 and q + r <= 64
+    Q, R = q, r
+    LOG_Q = (q - 1).bit_length()
+    LOG_R = (r - 1).bit_length()
+    SCALE_OUT_BITS = r
     from ..field import mp
 
-    n = X.shape[0]
-    x = fr.unmont(X)
-    pos = mp._gte(jnp.broadcast_to(jnp.asarray(_POS_MAX), x.shape), x)
+    tb = q + r - 1
+    _POS_MAX = mp.limbs_from_int((1 << tb) - 1, 8)
+    _NEG_MIN = mp.limbs_from_int(fr.P_INT - (1 << tb), 8)
+    _BIAS = mp.limbs_from_int(1 << tb, 8)
 
-    x_biased = fr.add(x, jnp.broadcast_to(jnp.asarray(_BIAS_2_47), x.shape))
+
+set_widths(32, 16)
+# reference-instance sanity (zkrelu.cu:18,23)
+assert list(_POS_MAX) == [4294967295, 32767, 0, 0, 0, 0, 0, 0]
+assert list(_NEG_MIN) == [1, 4294934527, 4294859774, 1404937218, 161601541, 859428872, 698187080, 1944954707]
+
+
+def _split_mag(X: jax.Array, q: int, r: int):
+    """Shared forward core: (pos mask, rem_sign, rem_mag, mag_rescaled) per
+    element, exact semantics of relu_kernel (zkrelu.cu:11-41) at widths (q, r).
+    The (q+r)-bit magnitude lives in the low two u32 limbs (q + r <= 64)."""
+    from ..field import mp, planar
+
+    pos_max, bias = _width_consts(q, r)
+    # unmont via the blocked pallas kernel (mp.from_mont's digit outer product
+    # costs ~2 KB of i32 temporaries per element — 1 GB at the zkdl256 scale)
+    x = planar.from_planar(planar.from_mont(planar.to_planar(X)))
+    pos = mp._gte(jnp.broadcast_to(jnp.asarray(pos_max), x.shape), x)
+
+    x_biased = fr.add(x, jnp.broadcast_to(jnp.asarray(bias), x.shape))
     lo = jnp.where(pos, x[:, 0], x_biased[:, 0])
     hi = jnp.where(pos, x[:, 1], x_biased[:, 1])
 
-    rem_sign = (lo >> 15) & jnp.uint32(1)
-    rem_mag = lo & jnp.uint32(32767)
+    rem_sign = (lo >> np.uint32(r - 1)) & jnp.uint32(1)
+    rem_mag = lo & jnp.uint32((1 << (r - 1)) - 1)
     # mag - rem on the (lo, hi) pair:
     #   rem >= 0: subtract rem_mag (borrow-free: rem_mag <= lo's low bits)
-    #   rem <  0: add (2^15 - rem_mag), propagating the carry into hi
-    add_amt = jnp.uint32(32768) - rem_mag
+    #   rem <  0: add (2^(r-1) - rem_mag), propagating the carry into hi
+    add_amt = jnp.uint32(1 << (r - 1)) - rem_mag
     lo_neg = lo + add_amt
     hi_neg = hi + (lo_neg < lo).astype(jnp.uint32)
     lo_pos = lo - rem_mag
     lo2 = jnp.where(rem_sign == 1, lo_neg, lo_pos)
     hi2 = jnp.where(rem_sign == 1, hi_neg, hi)
-    mag_rescaled = (lo2 >> 16) | (hi2 << 16)  # bits 16..47 of (mag - rem)
+    mag_rescaled = (lo2 >> np.uint32(r)) | (hi2 << np.uint32(32 - r))  # bits r..q+r-1
+    return pos, rem_sign, rem_mag, mag_rescaled
+
+
+@functools.lru_cache(maxsize=None)
+def _width_consts(q: int, r: int):
+    from ..field import mp
+
+    tb = q + r - 1
+    return mp.limbs_from_int((1 << tb) - 1, 8), mp.limbs_from_int(1 << tb, 8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _forward(X: jax.Array, q: int, r: int):
+    """X: (n, 8) Montgomery Fr. Returns (Z, aux dict with sign/mag_bin/rem_bin).
+
+    Exact semantics of relu_kernel (zkrelu.cu:11-41). Elements outside the valid
+    signed-(q+r)-bit range take the positive branch (the reference leaves `sign`
+    uninitialized there — undefined behavior we replace with a defined default).
+    """
+    n = X.shape[0]
+    pos, rem_sign, rem_mag, mag_rescaled = _split_mag(X, q, r)
 
     one_m = fr.ones_mont((n,))
     zero = fr.zeros((n,))
     sign = fr.select(pos, one_m, zero)
 
-    shifts = jnp.arange(Q, dtype=jnp.uint32)
-    mag_bits = (mag_rescaled[:, None] >> shifts) & jnp.uint32(1)  # (n, 32)
-    mag_bin = fr.select((mag_bits == 1).reshape(-1), fr.ones_mont((n * Q,)), fr.zeros((n * Q,)))
+    shifts = jnp.arange(q, dtype=jnp.uint32)
+    mag_bits = (mag_rescaled[:, None] >> shifts) & jnp.uint32(1)  # (n, q)
+    mag_bin = fr.select((mag_bits == 1).reshape(-1), fr.ones_mont((n * q,)), fr.zeros((n * q,)))
 
-    rem_shifts = jnp.arange(15, dtype=jnp.uint32)
-    rem_bits = (rem_mag[:, None] >> rem_shifts) & jnp.uint32(1)  # (n, 15)
-    rem_bits = jnp.concatenate([rem_bits, rem_sign[:, None]], axis=1)  # (n, 16)
-    rem_bin = fr.select((rem_bits == 1).reshape(-1), fr.ones_mont((n * R,)), fr.zeros((n * R,)))
+    rem_shifts = jnp.arange(r - 1, dtype=jnp.uint32)
+    rem_bits = (rem_mag[:, None] >> rem_shifts) & jnp.uint32(1)  # (n, r-1)
+    rem_bits = jnp.concatenate([rem_bits, rem_sign[:, None]], axis=1)  # (n, r)
+    rem_bin = fr.select((rem_bits == 1).reshape(-1), fr.ones_mont((n * r,)), fr.zeros((n * r,)))
 
     Z = fr.mul(fr.mont(fr_ops.from_u32(mag_rescaled)), sign)
     return Z, {"sign": sign, "mag_bin": mag_bin, "rem_bin": rem_bin}
 
 
-@jax.jit
-def forward_compact(X: jax.Array):
+def forward(X: jax.Array):
+    return _forward(X, Q, R)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _forward_compact(X: jax.Array, q: int, r: int):
     """Forward pass returning COMPACT auxiliary witnesses (u32 per element
     instead of Montgomery bit tensors — 48x less HBM; the planar prover
     expands bits on the fly). Z is identical to forward(X)'s.
 
     Returns (Z, {"sign_bits": (n,) u32 0/1, "mag": (n,) u32 (mag_rescaled),
-    "rem_bits16": (n,) u32 (15 magnitude bits + sign at bit 15)}).
+    "rem_bits16": (n,) u32 (r-1 magnitude bits + sign at bit r-1)}).
     """
-    from ..field import mp
+    from ..field import planar
 
     n = X.shape[0]
-    x = fr.unmont(X)
-    pos = mp._gte(jnp.broadcast_to(jnp.asarray(_POS_MAX), x.shape), x)
-
-    x_biased = fr.add(x, jnp.broadcast_to(jnp.asarray(_BIAS_2_47), x.shape))
-    lo = jnp.where(pos, x[:, 0], x_biased[:, 0])
-    hi = jnp.where(pos, x[:, 1], x_biased[:, 1])
-
-    rem_sign = (lo >> 15) & jnp.uint32(1)
-    rem_mag = lo & jnp.uint32(32767)
-    add_amt = jnp.uint32(32768) - rem_mag
-    lo_neg = lo + add_amt
-    hi_neg = hi + (lo_neg < lo).astype(jnp.uint32)
-    lo_pos = lo - rem_mag
-    lo2 = jnp.where(rem_sign == 1, lo_neg, lo_pos)
-    hi2 = jnp.where(rem_sign == 1, hi_neg, hi)
-    mag_rescaled = (lo2 >> 16) | (hi2 << 16)
+    pos, rem_sign, rem_mag, mag_rescaled = _split_mag(X, q, r)
 
     sign_bits = pos.astype(jnp.uint32)
-    rem_bits16 = rem_mag | (rem_sign << 15)
+    rem_bits16 = rem_mag | (rem_sign << np.uint32(r - 1))
 
-    one_m = fr.ones_mont((n,))
-    zero = fr.zeros((n,))
-    sign = fr.select(pos, one_m, zero)
-    Z = fr.mul(fr.mont(fr_ops.from_u32(mag_rescaled)), sign)
-    return Z, {"sign_bits": sign_bits, "mag": mag_rescaled, "rem_bits16": rem_bits16}
+    # Z = sign * mont(mag): mont via the blocked pallas kernel (mp.to_mont's
+    # temporaries are ~2 KB/element), then a select — fr.mul by a 0/1-valued
+    # sign is exactly a select.
+    mag_limbs = jnp.concatenate([mag_rescaled[None, :], jnp.zeros((7, n), jnp.uint32)], axis=0)
+    mag_mont = planar.to_mont(mag_limbs)  # (8, n)
+    Zp = planar.select(pos, mag_mont, jnp.zeros_like(mag_mont))
+    return planar.from_planar(Zp), {"sign_bits": sign_bits, "mag": mag_rescaled, "rem_bits16": rem_bits16}
+
+
+def forward_compact(X: jax.Array):
+    return _forward_compact(X, Q, R)
 
 
 @dataclasses.dataclass
@@ -158,6 +199,16 @@ class ZkReluProof:
     rem_bits_at_u: jax.Array  # (R, 8)
     # claims for the verifier
     hp_claim: jax.Array  # (8,) MLE of X (.) sign at u_hp
+    # --- chained mode (GKR-style cross-layer binding; None when unchained) ---
+    # A = sign (.) mont(mag) product sumcheck anchored at the downstream FC's
+    # X-side point w (so its initial claim IS that FC's ip_finals[0]):
+    a_point: jax.Array | None = None  # (log n, 8) = w = u_in^{fc} || u_bs^{fc}
+    a_polys: jax.Array | None = None  # (log n, 3, 8)
+    a_finals: jax.Array | None = None  # (2, 8): mont(mag)(v_a), sign(v_a)
+    # X's MLE at v_a (the A-sumcheck fold point). In chained mode
+    # u_recover == v_a, so the recombination identity and the upstream FC's
+    # z-claim are all checked at this one point.
+    x_at_va: jax.Array | None = None  # (8,)
 
 
 @jax.jit
@@ -205,8 +256,8 @@ def prove(X: jax.Array, aux: dict, challenges: ChallengeSource) -> ZkReluProof:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp):
+@functools.partial(jax.jit, static_argnums=(4, 7, 8))
+def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp, q, r):
     """One fused prep dispatch: expand bit matrices into bit-reversed flat
     layout for the binary sumchecks, bit-reverse X/sign for the Hadamard,
     and compute the recombination claims + hp_claim as eq-weighted masked
@@ -219,12 +270,12 @@ def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp):
     Xp = planar.to_planar(fr_ops.pad_to(X, n2))  # (8, n2) plain order
 
     revn = jnp.asarray(pops.bitrev_indices(log_size))
-    rev5 = pops.bitrev_indices(LOG_Q)
-    rev4 = pops.bitrev_indices(LOG_R)
+    rev5 = pops.bitrev_indices((q - 1).bit_length())
+    rev4 = pops.bitrev_indices((r - 1).bit_length())
 
-    shifts_q = jnp.arange(Q, dtype=jnp.uint32)
-    mag_bits = (mag[None, :] >> shifts_q[:, None]) & jnp.uint32(1)  # (32, n2) semantic rows
-    shifts_r = jnp.arange(R, dtype=jnp.uint32)
+    shifts_q = jnp.arange(q, dtype=jnp.uint32)
+    mag_bits = (mag[None, :] >> shifts_q[:, None]) & jnp.uint32(1)  # (q, n2) semantic rows
+    shifts_r = jnp.arange(r, dtype=jnp.uint32)
     rem_bits = (rem[None, :] >> shifts_r[:, None]) & jnp.uint32(1)  # (16, n2)
 
     # binary-sumcheck inputs: stored[rev5(k)*n2 + revn(j)] = bit_k(mag[j])
@@ -243,39 +294,118 @@ def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp):
     E_hp = pops.eq_table(u_hp)
     hp_claim = planar.dot(planar.select(sign == 1, Xp, jnp.zeros_like(Xp)), E_hp)
 
+    # chained-mode extras (cheap; unused in unchained mode): mont(mag) in
+    # bit-reversed planar form for the A = sign (.) mag product sumcheck, and
+    # X's MLE at u_rec (one more dot against the already-built eq table).
+    mag_limbs = jnp.concatenate([mag[None, :], jnp.zeros((7, n2), jnp.uint32)], axis=0)
+    mag_mont_rev = planar.to_mont(mag_limbs)[:, revn]
+    x_at_u = planar.dot(Xp, E_rec)
+
     return (mag_rev, rem_rev, X_rev, sign_rev,
-            jnp.swapaxes(mag_at_u, 0, 1), jnp.swapaxes(rem_at_u, 0, 1), hp_claim)
+            jnp.swapaxes(mag_at_u, 0, 1), jnp.swapaxes(rem_at_u, 0, 1), hp_claim,
+            mag_mont_rev, x_at_u)
 
 
-def prove_planar(X: jax.Array, aux: dict, challenges: ChallengeSource) -> ZkReluProof:
+def prove_planar(
+    X: jax.Array, aux: dict, challenges: ChallengeSource, chain_point: jax.Array | None = None
+) -> ZkReluProof:
     """Planar/pallas prover on compact aux (forward_compact). Challenge draw
-    order and emitted proof stream match prove() bit-for-bit."""
+    order and emitted proof stream match prove() bit-for-bit when
+    chain_point is None.
+
+    Chained mode (chain_point = w, the downstream FC's X-side evaluation
+    point): additionally proves A = sign (.) mont(mag) with a Hadamard
+    sumcheck anchored at w — its initial claim is the downstream FC's
+    ip_finals[0] = A(w), binding this layer's output to that proof — and the
+    recombination point u_recover is set to that sumcheck's fold point v_a, so
+    the bit-recombination identity and the upstream FC's z-claim (X(v_a),
+    emitted here) are all checked at one shared point. Draw order in chained
+    mode: u_z, v_z, u_r, v_r, v_a, u_hp, v_hp.
+    """
     n = X.shape[0]
     log_size = fr_ops.ceil_log2(n)
     u_z = challenges.random_vec(log_size + LOG_Q)
     v_z = challenges.random_vec(log_size + LOG_Q)
     u_r = challenges.random_vec(log_size + LOG_R)
     v_r = challenges.random_vec(log_size + LOG_R)
-    u_rec = challenges.random_vec(log_size)
+    u_rec = challenges.random_vec(log_size)  # == v_a in chained mode
     u_hp = challenges.random_vec(log_size)
     v_hp = challenges.random_vec(log_size)
 
-    (mag_rev, rem_rev, X_rev, sign_rev, mag_at_u, rem_at_u, hp_claim) = _relu_prep_planar(
-        X, aux["mag"], aux["rem_bits16"], aux["sign_bits"], log_size, u_rec, u_hp
+    (mag_rev, rem_rev, X_rev, sign_rev, mag_at_u, rem_at_u, hp_claim,
+     mag_mont_rev, x_at_u) = _relu_prep_planar(
+        X, aux["mag"], aux["rem_bits16"], aux["sign_bits"], log_size, u_rec, u_hp, Q, R
     )
     mag_polys, mag_final = pp.binary_prove_bits(mag_rev, u_z, v_z)
     rem_polys, rem_final = pp.binary_prove_bits(rem_rev, u_r, v_r)
     hp_polys, hp_finals = pp.hadamard_prove_bits(X_rev, sign_rev, u_hp, v_hp)
 
+    a_polys = a_finals = x_at_va = a_point = None
+    if chain_point is not None:
+        assert chain_point.shape[0] == log_size, (chain_point.shape, log_size)
+        # the recombination identity assumes no zero-padded tail (padded
+        # elements would need sign = 1); MLP tensors are always 2^k-sized
+        assert n == (1 << log_size), "chained mode requires power-of-two size"
+        a_point = chain_point
+        a_polys, a_finals = pp.hadamard_prove_bits(mag_mont_rev, sign_rev, chain_point, u_rec)
+        x_at_va = x_at_u
+
     proof = ZkReluProof(
         u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp,
         mag_polys, mag_final, rem_polys, rem_final, hp_polys, hp_finals,
         mag_at_u, rem_at_u, hp_claim,
+        a_point, a_polys, a_finals, x_at_va,
     )
     challenges.absorb_array(mag_polys)
     challenges.absorb_array(rem_polys)
     challenges.absorb_array(hp_polys)
+    if a_polys is not None:
+        challenges.absorb_array(a_polys)
     return proof
+
+
+def verify_chained(proof: ZkReluProof, a_claim: int) -> tuple[bool, str]:
+    """Chained-mode checks (see prove_planar): verify the A = sign (.) mag
+    product sumcheck against the downstream FC's A-claim, the bit
+    recombinations against its finals, and the ReLU recombination identity
+        X + 2^47*(1 - sign) == 2^16*mag + rem,   rem = sum_{k<15} 2^k b_k - 2^15 b_15
+    (elementwise-linear, hence checkable on MLEs at the shared point v_a;
+    the reference computes the recombination folds and discards them,
+    zkrelu.cu:92-94).
+
+    a_claim: the downstream FC's ip_finals[0] == A's MLE at proof.a_point
+    (Montgomery int). Returns (ok, reason)."""
+    if proof.a_polys is None:
+        return False, "proof is not chained"
+    fa, fb = sc.scalars_to_ints(proof.a_finals)  # mont(mag)(v_a), sign(v_a)
+    res = sc.hadamard_verify(
+        sc.polys_to_ints(proof.a_polys),
+        sc.scalars_to_ints(proof.a_point),
+        sc.scalars_to_ints(proof.u_recover),
+        a_claim,
+        fa,
+        fb,
+    )
+    if not res.ok:
+        return False, "a-product: " + res.reason
+    mag_claims = sc.scalars_to_ints(proof.mag_bits_at_u)
+    m_rec = 0
+    for k, b in enumerate(mag_claims):
+        m_rec = HF.add(m_rec, HF.mul(HF.mont(1 << k), b))
+    if m_rec != fa:
+        return False, "mag bit recombination != mag(v_a)"
+    rem_claims = sc.scalars_to_ints(proof.rem_bits_at_u)
+    r_rec = 0
+    for k in range(R - 1):
+        r_rec = HF.add(r_rec, HF.mul(HF.mont(1 << k), rem_claims[k]))
+    r_rec = HF.sub(r_rec, HF.mul(HF.mont(1 << (R - 1)), rem_claims[R - 1]))
+    x_va = sc.scalars_to_ints(proof.x_at_va[None])[0]
+    one = HF.one_mont
+    lhs = HF.add(x_va, HF.mul(HF.mont(1 << 47), HF.sub(one, fb)))
+    rhs = HF.add(HF.mul(HF.mont(1 << SCALE_OUT_BITS), fa), r_rec)
+    if lhs != rhs:
+        return False, "recombination identity failed at v_a"
+    return True, ""
 
 
 def verify(proof: ZkReluProof) -> tuple[bool, str]:

@@ -88,4 +88,53 @@ def run(n_devices: int) -> None:
     assert (np.asarray(finals) == np.asarray(finals_ref)).all(), "sharded sumcheck finals differ"
 
     jax.block_until_ready((polys, finals, A, aux["sign"]))
-    print(f"dryrun_multichip OK: mesh={dict(mesh.shape)} batch={batch} n={n}")
+
+    # FULL sharded 2-layer model: every sumcheck dp-sharded (binary, hadamard,
+    # ip, folds, commitment partial sums), proof stream bit-identical to the
+    # single-device prover, then verified.
+    from zkdl_tpu.models import mlp as mlp_mod
+    from zkdl_tpu.sumcheck.transcript import SeededRng
+    from . import model as pmodel
+
+    dp_mesh = sharded.make_mesh(n_devices, (n_devices,), names=("dp",))
+    rngm = np.random.default_rng(7)
+    dims = [16, 16, 16]
+    weights = [
+        (rngm.standard_normal((dims[i], dims[i + 1])) * 0.4).astype(np.float32)
+        for i in range(len(dims) - 1)
+    ]
+    import warnings
+
+    prev = mlp_mod.USE_PLANAR_PROVER
+    try:
+        model = mlp_mod.MLP.from_float_weights(weights, jax.random.PRNGKey(0))
+        Xm = fr.mont(quantize.load_input(rngm.standard_normal((batch, dims[0])).astype(np.float32)))
+        # reference stream from the planar unchained prover (CPU-friendly
+        # compiles; stream-identical to the (n, 8) prover — tests assert)
+        mlp_mod.USE_PLANAR_PROVER = True
+        Yp, Zp, Ap, auxp = model.infer(Xm)
+        proof_ref = model.prove(Xm, Yp, Zp, Ap, auxp, SeededRng(7), chain=False)
+        # sharded prover consumes the mont-tensor aux (zkrelu.forward)
+        mlp_mod.USE_PLANAR_PROVER = False
+        Y, Zl, Al, auxl = model.infer(Xm)
+        proof_sh = pmodel.prove_sharded(model, Xm, Y, Zl, Al, auxl, dp_mesh, SeededRng(7))
+        from zkdl_tpu.io import proof_io
+
+        ref_arrays: dict = {}
+        sh_arrays: dict = {}
+        proof_io._flatten(proof_ref, "p", ref_arrays, None)
+        proof_io._flatten(proof_sh, "p", sh_arrays, None)
+        assert sorted(ref_arrays) == sorted(sh_arrays)
+        for k in ref_arrays:
+            assert np.array_equal(np.asarray(ref_arrays[k]), np.asarray(sh_arrays[k])), (
+                f"sharded model proof stream differs at {k}"
+            )
+        ok, msg = model.verify(proof_sh)
+        assert ok, f"sharded model proof failed verification: {msg}"
+    finally:
+        mlp_mod.USE_PLANAR_PROVER = prev
+
+    print(
+        f"dryrun_multichip OK: mesh={dict(mesh.shape)} batch={batch} n={n}; "
+        f"full 2-layer sharded model prove+verify on dp={n_devices} stream-identical"
+    )

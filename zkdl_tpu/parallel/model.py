@@ -1,0 +1,350 @@
+"""Full-model SPMD prover: every sumcheck of mlp.MLP.prove dp-sharded.
+
+SURVEY.md §5.7-5.8 / §7 stage 7 (nothing distributed exists in the reference;
+/root/reference/README.md:135 lists multi-GPU as future work). Sharding scheme:
+
+- Every protocol tensor (Z/A activations, mag_bin, rem_bin, sign) is
+  block-sharded over its flat element axis on the "dp" mesh axis. Sumcheck
+  rounds bind LOW index bits, i.e. adjacent pairs — local to a device block —
+  so the first log2(n/n_dev) rounds of every sumcheck run without any
+  communication except one modular psum (collectives.psum_fr) per round
+  coefficient; after that each device holds ONE residue, which is
+  all-gathered (n_dev elements — tiny) and the last log2(n_dev) rounds run
+  replicated.
+- The point-anchored protocols (binary/hadamard) evaluate their round
+  coefficient tensors at the remaining challenge tail: the local fold chain
+  binds the low variables, the device-index bits are bound by weighting each
+  device's residue with eq(u_dev_bits, device_index) inside the psum.
+- Weights and challenges are replicated; the transcript is host-side and
+  identical on every device (communication-free Fiat-Shamir).
+- Commitments: row-axis sharded partial dlog sums (the G1 side is one
+  scalar-mul per row on the local rows).
+
+All arithmetic is exact modular integer math, and every reduction is
+canonicalized (collectives.py), so the emitted proof stream is BIT-IDENTICAL
+to the single-device prover (tests assert at n_dev in {2, 4, 8}).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field import fr
+from ..models import zkfc, zkrelu
+from ..sumcheck import protocols as sc
+from ..sumcheck.transcript import ChallengeSource, FiatShamir
+from ..tensor import fr_ops
+from . import collectives
+
+
+def _dev_eq_weight(u_dev: jax.Array, axis: str) -> jax.Array:
+    """eq(u_dev, axis_index) — this device's eq-weight over the device bits.
+    u_dev: (ld, 8) mont. Returns (8,). Round-independent: the device bits are
+    always the HIGHEST index bits of every protocol tensor."""
+    d = jax.lax.axis_index(axis)
+    one = jnp.asarray(fr.ONE_MONT)
+    w = one
+    for t in range(u_dev.shape[0]):
+        bit = (d >> t) & 1
+        factor = jnp.where(bit == 1, u_dev[t], fr.sub(one, u_dev[t]))
+        w = fr.mul(w, factor)
+    return w
+
+
+def _fold_padded(a: jax.Array, x: jax.Array) -> jax.Array:
+    """Fixed-shape fold (protocols.py scan-prover trick): fold pairs into the
+    first half, zero the tail. Zeros stay zeros through every later round."""
+    n = a.shape[0]
+    p = a.reshape(n // 2, 2, 8)
+    a0, a1 = p[:, 0], p[:, 1]
+    folded = fr.add(a0, fr.mul(jnp.broadcast_to(x, a0.shape), fr.sub(a1, a0)))
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+
+
+def _me_eval_padded(c: jax.Array, tail: jax.Array) -> jax.Array:
+    """MLE eval at a fixed-length variable vector; trailing zero variables
+    select index 0 (see protocols.py scan provers)."""
+    for i in range(tail.shape[0]):
+        p = c.reshape(c.shape[0] // 2, 2, 8)
+        a0, a1 = p[:, 0], p[:, 1]
+        c = fr.add(a0, fr.mul(jnp.broadcast_to(tail[i], a0.shape), fr.sub(a1, a0)))
+    return c[0]
+
+
+def _local_tails(u: jax.Array, lr: int, ld: int) -> jax.Array:
+    """tails[i] = [u[i+1], ..., u[lr+ld-1-ld], 0...] of fixed width lr-1 — the
+    LOCAL-variable suffix for round i (device bits u[-ld:] excluded)."""
+    r = u.shape[0]
+    width = max(lr - 1, 0)
+    rows = []
+    for i in range(lr):
+        real = u[i + 1 : r - ld]
+        pad = jnp.zeros((width - real.shape[0], 8), dtype=jnp.uint32)
+        rows.append(jnp.concatenate([real, pad], axis=0))
+    if not rows:
+        return jnp.zeros((0, width, 8), dtype=jnp.uint32)
+    return jnp.stack(rows)
+
+
+def _sharded_pa_prove(mesh, tensors, u, v, coeff_fn, axis):
+    """Shared scan-bodied driver for the point-anchored sumchecks
+    (binary/hadamard). `tensors` is a tuple of dp-sharded (n, 8) arrays; the
+    local rounds run as ONE lax.scan (a single compiled round body — the
+    unrolled-round graphs are multi-minute XLA compiles), with each round's
+    three coefficient sums evaluated as local padded folds x the device
+    eq-weight, modular-psum'd; then the n_dev residues are all-gathered and
+    the device-bit rounds run replicated (second tiny scan)."""
+    n, r = tensors[0].shape[0], u.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n == (1 << r) and n % n_dev == 0, (n, r, n_dev)
+    lr = fr_ops.ceil_log2(n // n_dev)
+    ld = r - lr
+
+    def fn(u_all, v_all, *blks):
+        w_dev = _dev_eq_weight(u_all[r - ld :], axis)
+        tails = _local_tails(u_all, lr, ld)
+
+        def body(carry, xs):
+            x, tail = xs
+            cs = coeff_fn(*carry)
+            evals = [
+                collectives.psum_fr(fr.mul(_me_eval_padded(c, tail), w_dev), axis)
+                for c in cs
+            ]
+            new = tuple(_fold_padded(t, x) for t in carry)
+            return new, jnp.stack(evals)
+
+        carry = tuple(blks)
+        if lr:
+            carry, local_polys = jax.lax.scan(body, carry, (v_all[:lr], tails))
+        else:
+            local_polys = jnp.zeros((0, 3, 8), jnp.uint32)
+        # residues: each device's valid element is local index 0
+        gathered = tuple(
+            jax.lax.all_gather(t[0:1], axis, axis=0).reshape(n_dev, 8) for t in carry
+        )
+
+        if ld:
+            gtails = sc._tails(u_all[r - ld :])
+
+            def gbody(carry, xs):
+                x, tail = xs
+                cs = coeff_fn(*carry)
+                evals = [_me_eval_padded(c, tail) for c in cs]
+                new = tuple(_fold_padded(t, x) for t in carry)
+                return new, jnp.stack(evals)
+
+            gathered, g_polys = jax.lax.scan(gbody, gathered, (v_all[lr:], gtails))
+            polys = jnp.concatenate([local_polys, g_polys], axis=0)
+        else:
+            polys = local_polys
+        finals = jnp.stack([t[0] for t in gathered])
+        return polys, finals
+
+    in_specs = (P(), P()) + tuple(P(axis) for _ in tensors)
+    shard_fn = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=(P(), P()), check_vma=False)
+    return jax.jit(shard_fn)(u, v, *tensors)
+
+
+def sharded_binary_prove(mesh: Mesh, a: jax.Array, u: jax.Array, v: jax.Array, axis: str = "dp"):
+    """Distributed binary_prove; stream-identical to protocols.binary_prove."""
+
+    def coeffs(a):
+        p = a.reshape(a.shape[0] // 2, 2, 8)
+        a0, a1 = p[:, 0], p[:, 1]
+        d = fr.sub(a1, a0)
+        return (fr.sub(fr.mul(a0, a0), a0), fr.sub(fr.mul(fr.double(a0), d), d), fr.mul(d, d))
+
+    polys, finals = _sharded_pa_prove(mesh, (a,), u, v, coeffs, axis)
+    return polys, finals[0]
+
+
+def sharded_hadamard_prove(mesh: Mesh, a: jax.Array, b: jax.Array, u: jax.Array, v: jax.Array,
+                           axis: str = "dp"):
+    """Distributed hadamard_prove; stream-identical to protocols.hadamard_prove."""
+
+    def coeffs(a, b):
+        pa = a.reshape(a.shape[0] // 2, 2, 8)
+        pb = b.reshape(b.shape[0] // 2, 2, 8)
+        a0, a1, b0, b1 = pa[:, 0], pa[:, 1], pb[:, 0], pb[:, 1]
+        da, db = fr.sub(a1, a0), fr.sub(b1, b0)
+        return (fr.mul(a0, b0), fr.add(fr.mul(a0, db), fr.mul(b0, da)), fr.mul(da, db))
+
+    return _sharded_pa_prove(mesh, (a, b), u, v, coeffs, axis)
+
+
+def sharded_partial_me(mesh: Mesh, t: jax.Array, u: jax.Array, window: int, axis: str = "dp"):
+    """Distributed fr_ops.partial_me: fold the window-major element axis at u,
+    keeping the `window`-minor axis. t: (n_el * window, 8) dp-sharded."""
+    n_el = t.shape[0] // window
+    n_dev = mesh.shape[axis]
+    r = u.shape[0]
+    assert n_el == (1 << r) and n_el % n_dev == 0, (n_el, r, n_dev)
+    lr = fr_ops.ceil_log2(n_el // n_dev)
+
+    def fn(t_blk, u_all):
+        def body(t, x):
+            t3 = t.reshape(-1, 2, window, 8)
+            t0, t1 = t3[:, 0], t3[:, 1]
+            folded = fr.add(t0, fr.mul(jnp.broadcast_to(x, t0.shape), fr.sub(t1, t0)))
+            out = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+            return out.reshape(-1, 8), None
+
+        t = t_blk
+        if lr:
+            t, _ = jax.lax.scan(body, t, u_all[:lr])
+        t_g = jax.lax.all_gather(t[:window], axis, axis=0).reshape(n_dev * window, 8)
+        for i in range(lr, r):
+            t3 = t_g.reshape(-1, 2, window, 8)
+            t0, t1 = t3[:, 0], t3[:, 1]
+            t_g = fr.add(t0, fr.mul(jnp.broadcast_to(u_all[i], t0.shape), fr.sub(t1, t0))).reshape(-1, 8)
+        return t_g
+
+    shard_fn = jax.shard_map(fn, mesh=mesh, in_specs=(P(axis), P()),
+                             out_specs=P(), check_vma=False)
+    return jax.jit(shard_fn)(t, u)
+
+
+def sharded_me_eval(mesh: Mesh, t: jax.Array, u: jax.Array, axis: str = "dp") -> jax.Array:
+    """Distributed fr_ops.me_eval of a dp-sharded (2^r, 8) tensor."""
+    n, r = t.shape[0], u.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n == (1 << r) and n % n_dev == 0
+    lr = fr_ops.ceil_log2(n // n_dev)
+    ld = r - lr
+
+    def fn(t_blk, u_all):
+        def body(t, x):
+            return _fold_padded(t, x), None
+
+        t = t_blk
+        if lr:
+            t, _ = jax.lax.scan(body, t, u_all[:lr])
+        w = _dev_eq_weight(u_all[r - ld :], axis)
+        return collectives.psum_fr(fr.mul(t[0], w), axis)
+
+    shard_fn = jax.shard_map(fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(),
+                             check_vma=False)
+    return jax.jit(shard_fn)(t, u)
+
+
+def sharded_commit_dlogs(mesh: Mesh, t: jax.Array, dlogs: jax.Array, axis: str = "dp") -> jax.Array:
+    """Row-sharded fast-path commitment scalars: sigma_row = sum_i t[row,i]*r_i
+    with rows distributed over the mesh (SURVEY §5.8: per-device partial sums;
+    the per-row G1 exponentiation then runs on the local rows).
+
+    t: (m * gen_size, 8) row-sharded; dlogs: (gen_size, 8) replicated.
+    Returns (m, 8) mont sigma rows (replicated)."""
+    gen_size = dlogs.shape[0]
+    m = t.shape[0] // gen_size
+    n_dev = mesh.shape[axis]
+    assert m % n_dev == 0, (m, n_dev)
+
+    def fn(t_blk, d):
+        t3 = t_blk.reshape(-1, gen_size, 8)
+        prods = fr.mul(t3, jnp.broadcast_to(d, t3.shape))
+        s = prods
+        while s.shape[1] > 1:
+            s = fr.add(s[:, 0::2], s[:, 1::2])
+        return s[:, 0]
+
+    shard_fn = jax.shard_map(fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+                             check_vma=False)
+    return jax.jit(shard_fn)(t, dlogs)
+
+
+# ---------------------------------------------------------------------------
+# full-model sharded prover
+# ---------------------------------------------------------------------------
+
+
+def _shard(mesh, x, axis="dp"):
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def _fc_prove_sharded(mesh, layer, X, Z, challenges):
+    """Sharded zkFC.prove: stream-identical to zkfc.prove (unchained)."""
+    batch = X.shape[0] // layer.in_size
+    u_bs = challenges.random_vec(fr_ops.ceil_log2(batch))
+    u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))
+    u_out = challenges.random_vec(fr_ops.ceil_log2(layer.out_size))
+
+    X_f = sharded_partial_me(mesh, X, u_bs, layer.in_size) if u_bs.shape[0] else X
+    W_f = jax.jit(fr_ops.partial_me, static_argnums=(2,))(layer.weights, u_out, 1)
+    # the folded operands are in_size-scale (replicated); finish locally
+    ip_polys, ip_finals = sc.inner_product_prove_jit(X_f, W_f, u_in)
+    z_claim = sharded_me_eval(mesh, Z, jnp.concatenate([u_out, u_bs], axis=0))
+    from ..commit import pedersen
+
+    opening = pedersen.open(layer.gens, layer.weights, layer.com, jnp.concatenate([u_out, u_in], axis=0))
+    proof = zkfc.ZkFCProof(u_bs, u_in, u_out, ip_polys, ip_finals, z_claim, opening)
+    challenges.absorb_array(ip_polys)
+    challenges.absorb_array(z_claim)
+    return proof
+
+
+def _relu_prove_sharded(mesh, X, aux, challenges):
+    """Sharded zkReLU.prove: stream-identical to zkrelu.prove (unchained)."""
+    n = X.shape[0]
+    log_size = fr_ops.ceil_log2(n)
+    Q, R = zkrelu.Q, zkrelu.R
+    u_z = challenges.random_vec(log_size + zkrelu.LOG_Q)
+    v_z = challenges.random_vec(log_size + zkrelu.LOG_Q)
+    u_r = challenges.random_vec(log_size + zkrelu.LOG_R)
+    v_r = challenges.random_vec(log_size + zkrelu.LOG_R)
+    u_rec = challenges.random_vec(log_size)
+    u_hp = challenges.random_vec(log_size)
+    v_hp = challenges.random_vec(log_size)
+
+    mag_bin = _shard(mesh, aux["mag_bin"])
+    rem_bin = _shard(mesh, aux["rem_bin"])
+    sign = _shard(mesh, aux["sign"])
+
+    mag_polys, mag_final = sharded_binary_prove(mesh, mag_bin, u_z, v_z)
+    mag_at_u = sharded_partial_me(mesh, mag_bin, u_rec, Q)
+    rem_polys, rem_final = sharded_binary_prove(mesh, rem_bin, u_r, v_r)
+    rem_at_u = sharded_partial_me(mesh, rem_bin, u_rec, R)
+    hp_polys, hp_finals = sharded_hadamard_prove(mesh, X, sign, u_hp, v_hp)
+    hp_claim = sharded_me_eval(mesh, jax.jit(fr.mul)(X, sign), u_hp)
+
+    proof = zkrelu.ZkReluProof(
+        u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp,
+        mag_polys, mag_final, rem_polys, rem_final, hp_polys, hp_finals,
+        mag_at_u, rem_at_u, hp_claim,
+    )
+    challenges.absorb_array(mag_polys)
+    challenges.absorb_array(rem_polys)
+    challenges.absorb_array(hp_polys)
+    return proof
+
+
+def prove_sharded(model, X, Y_hat, Z_list, A_list, aux_list, mesh: Mesh,
+                  challenges: ChallengeSource | None = None):
+    """Distributed mlp.MLP.prove (unchained stream): every layer sumcheck runs
+    dp-sharded over `mesh`; the emitted MLPProof is bit-identical to
+    model.prove(..., chain=False) with the (n, 8) prover."""
+    from ..models import mlp as mlp_mod
+
+    if challenges is None:
+        challenges = FiatShamir()
+    n_layers = len(model.layers)
+    fc_proofs: list = [None] * n_layers
+    relu_proofs: list = [None] * (n_layers - 1)
+    X_sh = _shard(mesh, X)
+    Z_sh = [_shard(mesh, z) for z in Z_list]
+    A_sh = [_shard(mesh, a) for a in A_list]
+    Y_sh = _shard(mesh, Y_hat)
+    fc_proofs[n_layers - 1] = _fc_prove_sharded(
+        mesh, model.layers[n_layers - 1], A_sh[n_layers - 2] if n_layers >= 2 else X_sh, Y_sh, challenges
+    )
+    for i in range(n_layers - 2, -1, -1):
+        relu_proofs[i] = _relu_prove_sharded(mesh, Z_sh[i], aux_list[i], challenges)
+        A_prev = A_sh[i - 1] if i > 0 else X_sh
+        fc_proofs[i] = _fc_prove_sharded(mesh, model.layers[i], A_prev, Z_sh[i], challenges)
+    return mlp_mod.MLPProof(fc_proofs, relu_proofs)

@@ -41,9 +41,14 @@ from . import protocols as sc
 
 HF = host.fr
 
-# below this many elements the per-round dispatch latency dominates: hand the
-# tensor to a fused (n, 8) tail prover (one dispatch for all remaining rounds).
-TAIL_N = 1024
+# Below this many elements the per-round dispatch latency would dominate: hand
+# the tensor to a fused (n, 8) tail prover (one dispatch for all remaining
+# rounds). 0 disables tails — the planar rounds run down to size 1 (each
+# per-size kernel is a small, cached compile; the unrolled tail graphs are the
+# most expensive compiles in the prover). Env: ZKDL_PLANAR_TAIL_N.
+from .. import config as _config
+
+TAIL_N = _config.get().planar_tail_n
 
 # Tail prover flavor: the lax.scan-bodied provers compile fast but run the
 # fixed-size body every round — measured ~350 ms/round on TPU (the scan body
@@ -228,7 +233,7 @@ def inner_product_prove(a_rev, b_rev, u):
     assert n == (1 << r), (n, r)
     polys = []
     i = 0
-    while a_rev.shape[1] > TAIL_N:
+    while a_rev.shape[1] > max(TAIL_N, 1) and i < r:
         p, a_rev, b_rev = _ip_round(a_rev, b_rev, u[i])
         polys.append(p)
         i += 1
