@@ -18,10 +18,15 @@ import numpy as np
 
 
 def _sync(out):
+    import dataclasses
+
     import jax
 
     for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(leaf.ravel()[:1])
+        if dataclasses.is_dataclass(leaf):
+            _sync({f.name: getattr(leaf, f.name) for f in dataclasses.fields(leaf)})
+        elif leaf is not None:
+            np.asarray(leaf.ravel()[:1])
 
 
 def bench(label, fn, *args, iters=5):

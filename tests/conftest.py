@@ -22,6 +22,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "unit tests must run on CPU"
 
+# Run CPU computations inline (no async dispatch): mid-suite XLA:CPU segfaults
+# in backend_compile (LLVM JIT) correlate with executables running on
+# background dispatch threads while the main thread compiles the next module.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
+
 # NO persistent compile cache on CPU: XLA:CPU executable (de)serialization is
 # experimental and segfaults the interpreter mid-suite (reproduced r2/r3 in
 # both the read path — compilation_cache.get_executable_and_time →

@@ -14,7 +14,7 @@ from zkdl_tpu.sumcheck import planar_protocols
 def _restore():
     config.configure(
         scale_bits=16, relu_mag_bits=32, relu_rem_bits=16,
-        use_planar_prover=True, planar_tail_n=1024,
+        use_planar_prover=True, planar_tail_n=-1,
         pallas_block_rows=64, dot_chunk=1 << 13,
     )
 

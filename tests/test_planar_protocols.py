@@ -108,3 +108,49 @@ def test_inverse_scalar():
     prod = planar.mul(x[:, None], inv[:, None])[:, 0]
     one = planar.ones_mont(1)[:, 0]
     assert np.array_equal(np.asarray(prod), np.asarray(one))
+
+
+def test_fused_planar_tails_stream_identical(monkeypatch):
+    """The fused-tail jits must emit the exact per-round stream of the
+    per-round path (and of the (n, 8) provers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zkdl_tpu.field import fr, planar
+    from zkdl_tpu.sumcheck import planar_protocols as pp
+    from zkdl_tpu.sumcheck import protocols as sc
+    from zkdl_tpu.tensor import fr_ops
+    from zkdl_tpu.tensor import planar_ops as pops
+
+    monkeypatch.setenv("ZKDL_PLANAR_FUSE_N_CPU", "32")
+    monkeypatch.setattr(pp, "TAIL_N", 0)
+
+    n, r = 32, 5
+    key = jax.random.PRNGKey(0)
+    a = fr.mont(fr_ops.random_fr(key, n))
+    b = fr.mont(fr_ops.random_fr(jax.random.PRNGKey(1), n))
+    bits = (np.arange(n) % 3 == 0).astype(np.uint32)
+    u = fr.mont(fr_ops.random_fr(jax.random.PRNGKey(2), r))
+    v = fr.mont(fr_ops.random_fr(jax.random.PRNGKey(3), r))
+
+    rev = pops.bitrev_indices(r)
+    a_rev = planar.to_planar(a)[:, rev]
+    b_rev = planar.to_planar(b)[:, rev]
+    bits_rev = jnp.asarray(bits[rev])
+
+    got_p, got_f = pp.inner_product_prove(a_rev, b_rev, u)
+    want_p, want_f = sc.inner_product_prove(a, b, u)
+    assert np.array_equal(np.asarray(got_p), np.asarray(want_p))
+    assert np.array_equal(np.asarray(got_f), np.asarray(want_f))
+
+    got_p, got_f = pp.binary_prove_bits(bits_rev, u, v)
+    mont_bits = fr.select(jnp.asarray(bits) == 1, fr.ones_mont((n,)), fr.zeros((n,)))
+    want_p, want_f = sc.binary_prove(mont_bits, u, v)
+    assert np.array_equal(np.asarray(got_p), np.asarray(want_p))
+    assert np.array_equal(np.asarray(got_f), np.asarray(want_f))
+
+    got_p, got_f = pp.hadamard_prove_bits(a_rev, bits_rev, u, v)
+    want_p, want_f = sc.hadamard_prove(a, mont_bits, u, v)
+    assert np.array_equal(np.asarray(got_p), np.asarray(want_p))
+    assert np.array_equal(np.asarray(got_f), np.asarray(want_f))

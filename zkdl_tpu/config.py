@@ -23,7 +23,9 @@ class Config:
 
     # prover engine
     use_planar_prover: bool = True  # planar/pallas hot path (models/mlp.py)
-    planar_tail_n: int = 1024  # hand-off size to the fused scan provers
+    # hand-off size to the fused (n, 8) tail provers; -1 = auto per backend
+    # (0 on TPU — planar rounds all the way; 1024 on CPU — scan tails)
+    planar_tail_n: int = -1
     pallas_block_rows: int = 64  # sublane rows per pallas block (x128 lanes)
     dot_chunk: int = 1 << 13  # lazy-reduction chunk (overflow-safe <= 2^13)
 

@@ -45,34 +45,88 @@ HF = host.fr
 # the tensor to a fused (n, 8) tail prover (one dispatch for all remaining
 # rounds). 0 disables tails — the planar rounds run down to size 1 (each
 # per-size kernel is a small, cached compile; the unrolled tail graphs are the
-# most expensive compiles in the prover). Env: ZKDL_PLANAR_TAIL_N.
+# most expensive compiles in the prover: 20+ minutes of TPU warmup at the
+# zkdl256 scale). -1 = auto (the default): 0 on TPU, 1024 elsewhere (small
+# test tensors go straight to the scan tails, the only CPU-compile-friendly
+# flavor). Env: ZKDL_PLANAR_TAIL_N.
 from .. import config as _config
 
 TAIL_N = _config.get().planar_tail_n
 
+
+def _tail_n() -> int:
+    if TAIL_N >= 0:
+        return TAIL_N
+    return 0 if jax.default_backend() == "tpu" else 1024
+
+
+# Once a tensor fits in ONE pallas block (8*8192), the remaining planar rounds
+# are fused into a single jit: ~2 dispatches instead of ~2 per round — the
+# per-round dispatch latency over a remote-device link otherwise dominates
+# small models. Per-(entry-size, rounds) compile units stay small (all pallas
+# bodies). Disabled on CPU (fused multi-round graphs are the XLA:CPU
+# compile-time hazard the scan tails exist to avoid). Env: ZKDL_PLANAR_FUSE_N.
+import os as _os
+
+FUSE_N = int(_os.environ.get("ZKDL_PLANAR_FUSE_N", "8192"))
+
+
+def _fuse_n() -> int:
+    return FUSE_N if jax.default_backend() == "tpu" else int(_os.environ.get("ZKDL_PLANAR_FUSE_N_CPU", "0"))
+
+
+@jax.jit
+def _ip_tail_planar(a_rev, b_rev, u_rem):
+    polys = []
+    for i in range(u_rem.shape[0]):
+        p, a_rev, b_rev = _ip_round(a_rev, b_rev, u_rem[i])
+        polys.append(p)
+    return jnp.stack(polys), jnp.stack([a_rev[:, 0], b_rev[:, 0]])
+
+
+@jax.jit
+def _bin_tail_planar(a_rev, table, scales_rem, v_rem):
+    polys = []
+    for k in range(v_rem.shape[0]):
+        h = a_rev.shape[1] // 2
+        p, a_rev = _bin_round(a_rev, table[:, :h], scales_rem[k], v_rem[k])
+        polys.append(p)
+    return jnp.stack(polys), a_rev[:, 0]
+
+
+@jax.jit
+def _hp_tail_planar(a_rev, b_rev, table, scales_rem, v_rem):
+    polys = []
+    for k in range(v_rem.shape[0]):
+        h = a_rev.shape[1] // 2
+        p, a_rev, b_rev = _hp_round(a_rev, b_rev, table[:, :h], scales_rem[k], v_rem[k])
+        polys.append(p)
+    return jnp.stack(polys), jnp.stack([a_rev[:, 0], b_rev[:, 0]])
+
+
 # Tail prover flavor: the lax.scan-bodied provers compile fast but run the
 # fixed-size body every round — measured ~350 ms/round on TPU (the scan body
 # can't halve shapes), vs <1 ms/round for the statically-unrolled provers.
-# Use the unrolled ones for the tail on TPU; keep scan on CPU where the
-# unrolled limb graphs are a compile-time hazard and tests run tiny sizes.
+# Scan on CPU, where the unrolled limb graphs are a compile-time hazard and
+# tests run tiny sizes; unrolled on any accelerator backend (not just tpu).
 
 
 def _tail_ip(a, b, u):
-    if jax.default_backend() == "tpu":
-        return sc.inner_product_prove_jit(a, b, u)
-    return sc.inner_product_prove_scan(a, b, u)
+    if jax.default_backend() == "cpu":
+        return sc.inner_product_prove_scan(a, b, u)
+    return sc.inner_product_prove_jit(a, b, u)
 
 
 def _tail_bin(a, u, v):
-    if jax.default_backend() == "tpu":
-        return sc.binary_prove_jit(a, u, v)
-    return sc.binary_prove_scan(a, u, v)
+    if jax.default_backend() == "cpu":
+        return sc.binary_prove_scan(a, u, v)
+    return sc.binary_prove_jit(a, u, v)
 
 
 def _tail_hp(a, b, u, v):
-    if jax.default_backend() == "tpu":
-        return sc.hadamard_prove_jit(a, b, u, v)
-    return sc.hadamard_prove_scan(a, b, u, v)
+    if jax.default_backend() == "cpu":
+        return sc.hadamard_prove_scan(a, b, u, v)
+    return sc.hadamard_prove_jit(a, b, u, v)
 
 
 def host_scales(u) -> jax.Array:
@@ -233,10 +287,15 @@ def inner_product_prove(a_rev, b_rev, u):
     assert n == (1 << r), (n, r)
     polys = []
     i = 0
-    while a_rev.shape[1] > max(TAIL_N, 1) and i < r:
+    fuse = _fuse_n()
+    while a_rev.shape[1] > max(_tail_n(), 1) and i < r and a_rev.shape[1] > fuse:
         p, a_rev, b_rev = _ip_round(a_rev, b_rev, u[i])
         polys.append(p)
         i += 1
+    if i < r and a_rev.shape[1] <= fuse and a_rev.shape[1] > max(_tail_n(), 1):
+        tail_polys, finals = _ip_tail_planar(a_rev, b_rev, u[i:])
+        polys_arr = jnp.concatenate([jnp.stack(polys), tail_polys]) if polys else tail_polys
+        return polys_arr, finals
     if i < r:
         a_t = pops.from_planar_rev(a_rev)
         b_t = pops.from_planar_rev(b_rev)
@@ -266,10 +325,16 @@ def binary_prove_bits(bits_rev, u, v):
     p0, a_rev = _bin_round0_bits(bits_rev, table, v[0])
     polys.append(p0)
     i = 1
-    while a_rev.shape[1] > TAIL_N and i < r:
+    fuse = _fuse_n()
+    while a_rev.shape[1] > _tail_n() and i < r and a_rev.shape[1] > fuse:
         p, a_rev = _bin_round(a_rev, table[:, : a_rev.shape[1] // 2], scales[i], v[i])
         polys.append(p)
         i += 1
+    if i < r and a_rev.shape[1] <= fuse and a_rev.shape[1] > _tail_n():
+        tail_polys, final = _bin_tail_planar(
+            a_rev, table[:, : a_rev.shape[1] // 2], scales[i:], v[i:]
+        )
+        return jnp.concatenate([jnp.stack(polys), tail_polys]), final
     if i < r:
         a_t = pops.from_planar_rev(a_rev)
         tail_polys, final = _tail_bin(a_t, u[i:], v[i:])
@@ -296,12 +361,18 @@ def hadamard_prove_bits(a_rev, bits_rev, u, v):
     p0, a_rev, b_rev = _hp_round0_bits(a_rev, bits_rev, table, v[0])
     polys.append(p0)
     i = 1
-    while a_rev.shape[1] > TAIL_N and i < r:
+    fuse = _fuse_n()
+    while a_rev.shape[1] > _tail_n() and i < r and a_rev.shape[1] > fuse:
         p, a_rev, b_rev = _hp_round(
             a_rev, b_rev, table[:, : a_rev.shape[1] // 2], scales[i], v[i]
         )
         polys.append(p)
         i += 1
+    if i < r and a_rev.shape[1] <= fuse and a_rev.shape[1] > _tail_n():
+        tail_polys, finals = _hp_tail_planar(
+            a_rev, b_rev, table[:, : a_rev.shape[1] // 2], scales[i:], v[i:]
+        )
+        return jnp.concatenate([jnp.stack(polys), tail_polys]), finals
     if i < r:
         a_t = pops.from_planar_rev(a_rev)
         b_t = pops.from_planar_rev(b_rev)
