@@ -26,3 +26,26 @@ if "xla_cpu_parallel_codegen_split_count" not in flags:
     # stability.
     flags += " --xla_cpu_parallel_codegen_split_count=1"
 os.environ["XLA_FLAGS"] = flags
+
+
+# --------------------------------------------------------------------------
+# Crash resilience: XLA:CPU in this image sporadically SEGFAULTS inside
+# backend_compile in LONG-LIVED processes (location varies run to run; every
+# affected test passes in a fresh process — triaged r3: not the persistent
+# cache, not async dispatch, not parallel codegen, not the ctypes library,
+# not the tunnel plugin). Until the jaxlib bug is fixed, reschedule a test
+# whose worker crashed onto a fresh worker (pytest-xdist's crash-item hook,
+# the same mechanism pytest-rerunfailures uses). Requires --max-worker-restart
+# (set in pyproject addopts) so xdist respawns the worker.
+# --------------------------------------------------------------------------
+
+_CRASH_RETRIES: dict = {}
+_MAX_CRASH_RETRIES = 2
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    n = _CRASH_RETRIES.get(crashitem, 0)
+    if n < _MAX_CRASH_RETRIES:
+        _CRASH_RETRIES[crashitem] = n + 1
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"
