@@ -106,6 +106,17 @@ def setup(key: jax.Array, gen_size: int) -> Generators:
     return Generators(points=points, dlogs=fr.mont(scalars))
 
 
+@functools.lru_cache(maxsize=None)
+def aux_generators(size: int) -> Generators:
+    """Deterministic shared generator vector for auxiliary-witness commitments
+    (sign/mag_bin/rem_bin tensors, docs/SOUNDNESS.md gap #1). Derivation is a
+    fixed PRNG key folded with the size, so prover and verifier regenerate the
+    same vector — the same transparent trust model as setup (demo.cu:81-82:
+    whoever runs setup knows the dlogs either way)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0x5A6B), size)
+    return setup(key, size)
+
+
 def commit(gens: Generators, t: jax.Array) -> RowCommitments:
     """Row commitments; t: (m*gen_size, 8) Montgomery. Returns (m,) points.
 

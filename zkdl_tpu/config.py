@@ -23,6 +23,9 @@ class Config:
 
     # prover engine
     use_planar_prover: bool = True  # planar/pallas hot path (models/mlp.py)
+    # committed-aux soundness tier: Pedersen-commit + open the ReLU witness
+    # tensors (docs/SOUNDNESS.md gap #1); costs extra commit/open work per layer
+    commit_aux: bool = False
     # hand-off size to the fused (n, 8) tail provers; -1 = auto per backend
     # (0 on TPU — planar rounds all the way; 1024 on CPU — scan tails)
     planar_tail_n: int = -1
@@ -85,6 +88,7 @@ def _apply(cfg: Config) -> None:
     from .sumcheck import planar_protocols
 
     mlp.USE_PLANAR_PROVER = cfg.use_planar_prover
+    mlp.COMMIT_AUX = cfg.commit_aux
     planar_protocols.TAIL_N = cfg.planar_tail_n
     if (zkrelu.Q, zkrelu.R) != (cfg.relu_mag_bits, cfg.relu_rem_bits):
         zkrelu.set_widths(cfg.relu_mag_bits, cfg.relu_rem_bits)

@@ -63,10 +63,13 @@ def main(argv=None):
     print(f"Proof time: {dt / batch} seconds per data point.")
 
     if args.verify:
+        from .sumcheck.transcript import FiatShamir
+
         t0 = time.perf_counter()
-        # chained verify with public anchors: the claim chain is walked from
-        # the public output Y_hat down to the public input X
-        ok, msg = model.verify(proof, X=X, Y_hat=Y_hat)
+        # chained verify with public anchors (claim chain walked from the
+        # public output Y_hat down to the public input X) + full Fiat-Shamir
+        # transcript replay (every challenge re-derived and compared)
+        ok, msg = model.verify(proof, X=X, Y_hat=Y_hat, transcript=FiatShamir())
         print(f"Verification: {'OK' if ok else 'FAILED: ' + msg} ({time.perf_counter() - t0:.2f}s)")
         return 0 if ok else 1
     return 0

@@ -161,6 +161,7 @@ def prove_mlp_checkpointed(model, X, Y_hat, Z_list, A_list, aux_list, challenges
     from ..models import mlp as mlp_mod
     from ..models import zkfc, zkrelu
 
+    mlp_mod.absorb_statement(challenges, model.layers, X, Y_hat)
     fc_prove = zkfc.prove_planar if mlp_mod.USE_PLANAR_PROVER else zkfc.prove
     relu_prove = zkrelu.prove_planar if mlp_mod.USE_PLANAR_PROVER else zkrelu.prove
     n = len(model.layers)
@@ -203,8 +204,17 @@ def _replay_fc(challenges, p) -> None:
 
 
 def _replay_relu(challenges, p) -> None:
+    if getattr(p, "aux_coms", None) is not None:
+        from ..models import zkrelu
+
+        zkrelu._absorb_aux_coms(challenges, p.aux_coms)
     for u in (p.u_z_bin, p.v_z_bin, p.u_r_bin, p.v_r_bin, p.u_recover, p.u_hp, p.v_hp):
         challenges.random_vec(u.shape[0])
+    if getattr(p, "aux_coms", None) is not None:
+        challenges.random_vec(p.w_q.shape[0])
+        challenges.random_vec(p.w_r.shape[0])
     challenges.absorb_array(p.mag_polys)
     challenges.absorb_array(p.rem_polys)
     challenges.absorb_array(p.hp_polys)
+    if getattr(p, "a_polys", None) is not None:
+        challenges.absorb_array(p.a_polys)

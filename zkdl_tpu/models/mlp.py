@@ -29,6 +29,25 @@ from . import zkfc, zkrelu
 # (n, 8) path remains for cross-validation and as the tail/small-size engine.
 USE_PLANAR_PROVER = True
 
+# Default for the committed-aux soundness tier (MLP.prove(commit_aux=...)):
+# off matches the reference's uncommitted aux witnesses; config._apply can
+# flip it (config.commit_aux).
+COMMIT_AUX = False
+
+
+def absorb_statement(challenges: ChallengeSource, layers, X, Y_hat) -> None:
+    """Bind the Fiat-Shamir transcript to the public statement before any
+    challenge is drawn: every layer's weight row-commitments (the model), the
+    public input X and the claimed output Y_hat. A no-op for non-absorbing
+    challenge modes (SeededRng/Replay), so reference-compatible streams are
+    unchanged. The verifier replays this in `MLP.verify(transcript=...)`."""
+    for layer in layers:
+        challenges.absorb_array(layer.com.points.x)
+        challenges.absorb_array(layer.com.points.y)
+        challenges.absorb_array(layer.com.points.z)
+    challenges.absorb_array(X)
+    challenges.absorb_array(Y_hat)
+
 
 @dataclasses.dataclass
 class MLP:
@@ -71,7 +90,7 @@ class MLP:
         return Y_hat, Z_list, A_list, aux_list
 
     def prove(self, X, Y_hat, Z_list, A_list, aux_list, challenges: ChallengeSource | None = None,
-              chain: bool | None = None):
+              chain: bool | None = None, commit_aux: bool | None = None):
         """Backwards proving loop (demo.cu:128-137). Returns MLPProof.
 
         chain=True (default on the planar path) produces a GKR-style chained
@@ -79,13 +98,25 @@ class MLP:
         adjacent ReLU's sumchecks, so `verify` can walk a single claim chain
         from the public output down to the public input. chain=False matches
         the reference's independent per-layer proofs (and the (n, 8) prover's
-        stream bit-for-bit)."""
+        stream bit-for-bit).
+
+        commit_aux=True additionally Pedersen-commits every ReLU's auxiliary
+        witness tensors (sign/mag_bin/rem_bin) before that layer's challenges
+        are drawn and opens them at every point where the proof claims their
+        evaluations — the highest soundness tier (docs/SOUNDNESS.md gap #1
+        closed). Default comes from config (off: matches the reference's
+        uncommitted aux)."""
         if challenges is None:
             challenges = FiatShamir()
         if chain is None:
             chain = USE_PLANAR_PROVER
         if chain and not USE_PLANAR_PROVER:
             raise ValueError("chained proofs require the planar prover")
+        if commit_aux is None:
+            commit_aux = COMMIT_AUX
+        if commit_aux and not chain:
+            raise ValueError("committed aux requires chained mode")
+        absorb_statement(challenges, self.layers, X, Y_hat)
         fc_prove = zkfc.prove_planar if USE_PLANAR_PROVER else zkfc.prove
         relu_prove = zkrelu.prove_planar if USE_PLANAR_PROVER else zkrelu.prove
         n = len(self.layers)
@@ -96,7 +127,10 @@ class MLP:
             A_prev = A_list[i - 1] if i > 0 else X
             if chain:
                 w = jnp.concatenate([fc_proofs[i + 1].u_in, fc_proofs[i + 1].u_bs], axis=0)
-                relu_proofs[i] = zkrelu.prove_planar(Z_list[i], aux_list[i], challenges, chain_point=w)
+                aux_com = zkrelu.commit_aux(aux_list[i]) if commit_aux else None
+                relu_proofs[i] = zkrelu.prove_planar(
+                    Z_list[i], aux_list[i], challenges, chain_point=w, aux_com=aux_com
+                )
                 fc_proofs[i] = zkfc.prove_planar(
                     self.layers[i], A_prev, Z_list[i], challenges, z_point=relu_proofs[i].u_recover
                 )
@@ -105,16 +139,32 @@ class MLP:
                 fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges)
         return MLPProof(fc_proofs, relu_proofs)
 
-    def verify(self, proof: "MLPProof", X=None, Y_hat=None) -> tuple[bool, str]:
+    def verify(self, proof: "MLPProof", X=None, Y_hat=None,
+               transcript: ChallengeSource | None = None) -> tuple[bool, str]:
         """Verify every layer proof, and — for chained proofs — the cross-layer
         claim chain: Y_hat's MLE anchors fc[n-1]'s z-claim (public output);
         each fc[i+1]'s X-side final is the initial claim of relu[i]'s
         A = sign (.) mag sumcheck; relu[i]'s emitted X(v_a) is fc[i]'s z-claim
         at the shared point; fc[0]'s X-side final is checked against the public
-        input X's MLE. Pass X / Y_hat to enable the public end anchors."""
+        input X's MLE. Pass X / Y_hat to enable the public end anchors.
+
+        transcript: a FRESH ChallengeSource of the same mode used at prove time
+        (e.g. `FiatShamir()` for the default prover). When given, the verifier
+        re-derives the entire challenge stream — statement absorption, every
+        draw, every proof-message absorb — and rejects if any challenge vector
+        in the proof differs from the re-derived one. Without it, evaluation
+        points are taken from the (attacker-supplied) proof on trust, which is
+        only sound against data tampering, not a malicious prover
+        (docs/SOUNDNESS.md gap #0)."""
         from ..sumcheck import protocols as sc
 
         n = len(self.layers)
+        if transcript is not None:
+            if X is None or Y_hat is None:
+                return False, "transcript replay requires the public X and Y_hat"
+            ok, msg = self._verify_transcript(proof, X, Y_hat, transcript)
+            if not ok:
+                return False, f"transcript: {msg}"
         for i in range(n):
             ok, msg = zkfc.verify(self.layers[i].com, proof.fc_proofs[i])
             if not ok:
@@ -123,7 +173,24 @@ class MLP:
             ok, msg = zkrelu.verify(proof.relu_proofs[i])
             if not ok:
                 return False, f"relu[{i}]: {msg}"
+            if proof.relu_proofs[i].aux_coms is not None:
+                ok, msg = zkrelu.verify_committed(proof.relu_proofs[i])
+                if not ok:
+                    return False, f"relu[{i}] committed-aux: {msg}"
         chained = n >= 2 and proof.relu_proofs[0].a_polys is not None
+        # The public-output anchor needs only the top FC's z-claim, so it is
+        # checked for chained AND unchained proofs; the input anchor rides the
+        # claim chain, so an unchained proof cannot honor it — reject rather
+        # than silently skip (a malicious prover could otherwise downgrade to
+        # chain=False to dodge the anchors).
+        if Y_hat is not None:
+            top = proof.fc_proofs[n - 1]
+            pt = jnp.concatenate([top.u_out, top.u_bs], axis=0)
+            y_eval = fr_ops.me_eval(fr_ops.pad_to(Y_hat, 1 << pt.shape[0]), pt)
+            if sc.scalars_to_ints(y_eval[None]) != sc.scalars_to_ints(top.z_claim[None]):
+                return False, "fc[-1]: output claim != Y_hat MLE (public anchor)"
+        if X is not None and n >= 2 and not chained:
+            return False, "input anchor requires a chained proof"
         if chained:
             for i in range(n - 2, -1, -1):
                 rp = proof.relu_proofs[i]
@@ -141,18 +208,70 @@ class MLP:
                     return False, f"fc[{i}]: z point not chained to relu[{i}].v_a"
                 if sc.scalars_to_ints(fcp.z_claim[None]) != sc.scalars_to_ints(rp.x_at_va[None]):
                     return False, f"fc[{i}]: z claim != relu[{i}].X(v_a)"
-            if Y_hat is not None:
-                top = proof.fc_proofs[n - 1]
-                pt = jnp.concatenate([top.u_out, top.u_bs], axis=0)
-                y_eval = fr_ops.me_eval(fr_ops.pad_to(Y_hat, 1 << pt.shape[0]), pt)
-                if sc.scalars_to_ints(y_eval[None]) != sc.scalars_to_ints(top.z_claim[None]):
-                    return False, "fc[-1]: output claim != Y_hat MLE (public anchor)"
             if X is not None:
                 bot = proof.fc_proofs[0]
                 pt = jnp.concatenate([bot.u_in, bot.u_bs], axis=0)
                 x_eval = fr_ops.me_eval(fr_ops.pad_to(X, 1 << pt.shape[0]), pt)
                 if sc.scalars_to_ints(x_eval[None]) != [sc.scalars_to_ints(bot.ip_finals)[0]]:
                     return False, "fc[0]: input claim != X MLE (public anchor)"
+        return True, ""
+
+    def _verify_transcript(self, proof: "MLPProof", X, Y_hat,
+                           transcript: ChallengeSource) -> tuple[bool, str]:
+        """Re-derive the full challenge stream and compare with the proof.
+
+        Mirrors the prove() schedule exactly: statement absorption, then the
+        output layer's draws, then per layer (backwards) the ReLU draws and the
+        FC draws, absorbing each proof's messages where the prover did. In
+        chained mode fc[i<n-1] draws only u_in (its z-point is relu[i]'s
+        u_recover — equality is enforced by the chain checks in verify)."""
+
+        def draw_eq(name: str, stored) -> bool:
+            got = transcript.random_vec(stored.shape[0])
+            return np.array_equal(np.asarray(got), np.asarray(stored))
+
+        absorb_statement(transcript, self.layers, X, Y_hat)
+        n = len(self.layers)
+        chained = n >= 2 and proof.relu_proofs[0].a_polys is not None
+
+        def fc_replay(i: int, draw_all: bool) -> str | None:
+            p = proof.fc_proofs[i]
+            vecs = [("u_bs", p.u_bs), ("u_in", p.u_in), ("u_out", p.u_out)] if draw_all \
+                else [("u_in", p.u_in)]
+            for name, stored in vecs:
+                if not draw_eq(name, stored):
+                    return f"fc[{i}].{name} not derived from the transcript"
+            transcript.absorb_array(p.ip_polys)
+            transcript.absorb_array(p.z_claim)
+            return None
+
+        def relu_replay(i: int) -> str | None:
+            p = proof.relu_proofs[i]
+            if p.aux_coms is not None:
+                zkrelu._absorb_aux_coms(transcript, p.aux_coms)
+            vecs = [("u_z_bin", p.u_z_bin), ("v_z_bin", p.v_z_bin),
+                    ("u_r_bin", p.u_r_bin), ("v_r_bin", p.v_r_bin),
+                    ("u_recover", p.u_recover), ("u_hp", p.u_hp),
+                    ("v_hp", p.v_hp)]
+            if p.aux_coms is not None:
+                vecs += [("w_q", p.w_q), ("w_r", p.w_r)]
+            for name, stored in vecs:
+                if not draw_eq(name, stored):
+                    return f"relu[{i}].{name} not derived from the transcript"
+            transcript.absorb_array(p.mag_polys)
+            transcript.absorb_array(p.rem_polys)
+            transcript.absorb_array(p.hp_polys)
+            if p.a_polys is not None:
+                transcript.absorb_array(p.a_polys)
+            return None
+
+        err = fc_replay(n - 1, draw_all=True)
+        if err:
+            return False, err
+        for i in range(n - 2, -1, -1):
+            err = relu_replay(i) or fc_replay(i, draw_all=not chained)
+            if err:
+                return False, err
         return True, ""
 
 

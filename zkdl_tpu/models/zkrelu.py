@@ -56,7 +56,9 @@ def set_widths(q: int, r: int) -> None:
     reference widths and by config._apply for overrides; jitted kernels take
     (Q, R) as static args so a reconfigure can't hit stale compile caches."""
     global Q, R, LOG_Q, LOG_R, SCALE_OUT_BITS, _POS_MAX, _NEG_MIN, _BIAS
-    assert 2 <= r <= 32 and 1 <= q <= 32 and q + r <= 64
+    # r <= 31: _split_mag computes `lo2 >> r` and `hi2 << (32 - r)` on u32 —
+    # a shift by the full 32-bit width would be undefined in XLA
+    assert 2 <= r <= 31 and 1 <= q <= 32 and q + r <= 64
     Q, R = q, r
     LOG_Q = (q - 1).bit_length()
     LOG_R = (r - 1).bit_length()
@@ -177,6 +179,67 @@ def forward_compact(X: jax.Array):
 
 
 @dataclasses.dataclass
+class AuxCommitments:
+    """Pedersen row commitments over the auxiliary witness tensors
+    (docs/SOUNDNESS.md gap #1): sign (n,), mag_bin (n*Q,), rem_bin (n*R,),
+    all in the standard (n, 8)-prover layout. Generators come from the
+    deterministic shared pool (pedersen.aux_generators), sqrt-sized like the
+    weight commitments (demo.cu:81)."""
+
+    sign: "pedersen.RowCommitments"
+    mag: "pedersen.RowCommitments"
+    rem: "pedersen.RowCommitments"
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _expand_aux(sign_bits, mag, rem_bits16, q: int, r: int):
+    """Compact aux -> standard-layout Montgomery tensors: sign (n, 8),
+    mag_bin (n*q, 8) with bit k of element j at index j*q + k (matching
+    _forward / zkrelu.cu:33-39), rem_bin (n*r, 8) likewise (sign bit is row
+    r-1, already packed into rem_bits16)."""
+    n = sign_bits.shape[0]
+    sign = fr.select(sign_bits == 1, fr.ones_mont((n,)), fr.zeros((n,)))
+    shifts = jnp.arange(q, dtype=jnp.uint32)
+    mag_bits = ((mag[:, None] >> shifts) & jnp.uint32(1)).reshape(-1)
+    mag_bin = fr.select(mag_bits == 1, fr.ones_mont((n * q,)), fr.zeros((n * q,)))
+    rshifts = jnp.arange(r, dtype=jnp.uint32)
+    rem_bits = ((rem_bits16[:, None] >> rshifts) & jnp.uint32(1)).reshape(-1)
+    rem_bin = fr.select(rem_bits == 1, fr.ones_mont((n * r,)), fr.zeros((n * r,)))
+    return sign, mag_bin, rem_bin
+
+
+def _aux_gens(size: int) -> "pedersen.Generators":
+    from ..commit import pedersen
+
+    gen_size = 1 << ((fr_ops.ceil_log2(size) + 1) // 2)
+    return pedersen.aux_generators(gen_size)
+
+
+def commit_aux(aux: dict) -> AuxCommitments:
+    """Commit the compact auxiliary witnesses (forward_compact output). The
+    commitments are absorbed into the transcript before this layer's
+    challenges are drawn (prove_planar), so the prover is bound to ONE witness
+    tensor for both the binary sumchecks and the recombination folds — closing
+    the range-proof binding gap (docs/SOUNDNESS.md gap #1)."""
+    from ..commit import pedersen
+
+    assert Q == (1 << LOG_Q) and R == (1 << LOG_R), "committed aux needs 2^k widths"
+    sign, mag_bin, rem_bin = _expand_aux(aux["sign_bits"], aux["mag"], aux["rem_bits16"], Q, R)
+    return AuxCommitments(
+        sign=pedersen.commit(_aux_gens(sign.shape[0]), sign),
+        mag=pedersen.commit(_aux_gens(mag_bin.shape[0]), mag_bin),
+        rem=pedersen.commit(_aux_gens(rem_bin.shape[0]), rem_bin),
+    )
+
+
+def _absorb_aux_coms(challenges: ChallengeSource, coms: AuxCommitments) -> None:
+    for c in (coms.sign, coms.mag, coms.rem):
+        challenges.absorb_array(c.points.x)
+        challenges.absorb_array(c.points.y)
+        challenges.absorb_array(c.points.z)
+
+
+@dataclasses.dataclass
 class ZkReluProof:
     # challenge vectors (recorded so the verifier in any challenge mode can replay)
     u_z_bin: jax.Array
@@ -209,6 +272,21 @@ class ZkReluProof:
     # u_recover == v_a, so the recombination identity and the upstream FC's
     # z-claim are all checked at this one point.
     x_at_va: jax.Array | None = None  # (8,)
+    # --- committed-aux mode (closes SOUNDNESS.md gap #1; None otherwise) ---
+    # Commitments to sign/mag_bin/rem_bin (absorbed before this layer's
+    # draws) plus openings binding every aux claim to those commitments:
+    # mag_bin at v_z (binary-sumcheck final) and at w_q||u_rec (eq-weighted
+    # combination of the recombination folds); rem_bin likewise; sign at
+    # v_hp (Hadamard final) and at u_rec = v_a (A-product final).
+    aux_coms: AuxCommitments | None = None
+    w_q: jax.Array | None = None  # (LOG_Q, 8) bit-axis combiner challenge
+    w_r: jax.Array | None = None  # (LOG_R, 8)
+    open_mag_bin: object | None = None  # pedersen.OpeningProof
+    open_mag_rec: object | None = None
+    open_rem_bin: object | None = None
+    open_rem_rec: object | None = None
+    open_sign_hp: object | None = None
+    open_sign_rec: object | None = None
 
 
 @jax.jit
@@ -307,7 +385,8 @@ def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp, q, r
 
 
 def prove_planar(
-    X: jax.Array, aux: dict, challenges: ChallengeSource, chain_point: jax.Array | None = None
+    X: jax.Array, aux: dict, challenges: ChallengeSource, chain_point: jax.Array | None = None,
+    aux_com: AuxCommitments | None = None,
 ) -> ZkReluProof:
     """Planar/pallas prover on compact aux (forward_compact). Challenge draw
     order and emitted proof stream match prove() bit-for-bit when
@@ -324,6 +403,9 @@ def prove_planar(
     """
     n = X.shape[0]
     log_size = fr_ops.ceil_log2(n)
+    if aux_com is not None:
+        assert chain_point is not None, "committed aux requires chained mode"
+        _absorb_aux_coms(challenges, aux_com)  # bind witness before any draw
     u_z = challenges.random_vec(log_size + LOG_Q)
     v_z = challenges.random_vec(log_size + LOG_Q)
     u_r = challenges.random_vec(log_size + LOG_R)
@@ -331,6 +413,8 @@ def prove_planar(
     u_rec = challenges.random_vec(log_size)  # == v_a in chained mode
     u_hp = challenges.random_vec(log_size)
     v_hp = challenges.random_vec(log_size)
+    w_q = challenges.random_vec(LOG_Q) if aux_com is not None else None
+    w_r = challenges.random_vec(LOG_R) if aux_com is not None else None
 
     (mag_rev, rem_rev, X_rev, sign_rev, mag_at_u, rem_at_u, hp_claim,
      mag_mont_rev, x_at_u) = _relu_prep_planar(
@@ -356,6 +440,25 @@ def prove_planar(
         mag_at_u, rem_at_u, hp_claim,
         a_point, a_polys, a_finals, x_at_va,
     )
+    if aux_com is not None:
+        from ..commit import pedersen
+
+        sign_m, mag_bin, rem_bin = _expand_aux(
+            aux["sign_bits"], aux["mag"], aux["rem_bits16"], Q, R
+        )
+        g_s, g_m, g_r = _aux_gens(n), _aux_gens(n * Q), _aux_gens(n * R)
+        proof.aux_coms = aux_com
+        proof.w_q, proof.w_r = w_q, w_r
+        proof.open_mag_bin = pedersen.open_planar(g_m, mag_bin, aux_com.mag, v_z)
+        proof.open_mag_rec = pedersen.open_planar(
+            g_m, mag_bin, aux_com.mag, jnp.concatenate([w_q, u_rec], axis=0)
+        )
+        proof.open_rem_bin = pedersen.open_planar(g_r, rem_bin, aux_com.rem, v_r)
+        proof.open_rem_rec = pedersen.open_planar(
+            g_r, rem_bin, aux_com.rem, jnp.concatenate([w_r, u_rec], axis=0)
+        )
+        proof.open_sign_hp = pedersen.open_planar(g_s, sign_m, aux_com.sign, v_hp)
+        proof.open_sign_rec = pedersen.open_planar(g_s, sign_m, aux_com.sign, u_rec)
     challenges.absorb_array(mag_polys)
     challenges.absorb_array(rem_polys)
     challenges.absorb_array(hp_polys)
@@ -401,10 +504,95 @@ def verify_chained(proof: ZkReluProof, a_claim: int) -> tuple[bool, str]:
     r_rec = HF.sub(r_rec, HF.mul(HF.mont(1 << (R - 1)), rem_claims[R - 1]))
     x_va = sc.scalars_to_ints(proof.x_at_va[None])[0]
     one = HF.one_mont
-    lhs = HF.add(x_va, HF.mul(HF.mont(1 << 47), HF.sub(one, fb)))
+    # sign bias is 2^(Q+R-1) (the generalized form of the reference's 2^47
+    # instance; matches _BIAS in set_widths)
+    lhs = HF.add(x_va, HF.mul(HF.mont(1 << (Q + R - 1)), HF.sub(one, fb)))
     rhs = HF.add(HF.mul(HF.mont(1 << SCALE_OUT_BITS), fa), r_rec)
     if lhs != rhs:
         return False, "recombination identity failed at v_a"
+    return True, ""
+
+
+def _eq_weights(w: list[int], m: int) -> list[int]:
+    """eq(w, k) for k in range(m), mont ints; w[0] is the lowest index bit."""
+    one = HF.one_mont
+    out = [one]
+    for wi in w:
+        nxt = []
+        for e in out:
+            nxt.append(HF.mul(e, HF.sub(one, wi)))
+        for e in out:
+            nxt.append(HF.mul(e, wi))
+        out = nxt
+    return out[:m]
+
+
+def verify_committed(proof: ZkReluProof) -> tuple[bool, str]:
+    """Committed-aux checks: every claim about the auxiliary witnesses is an
+    opening of a commitment that was absorbed before this layer's challenges —
+    the binary sumchecks' finals (mag_bin at v_z, rem_bin at v_r), the
+    eq(w)-weighted combination of the recombination folds (mag_bin/rem_bin at
+    w||u_rec), the Hadamard sign final (sign at v_hp), and the A-product sign
+    final (sign at u_rec = v_a). With these, the bit tensor range-checked by
+    the binary sumcheck and the one recombined into X at v_a are provably the
+    SAME committed tensor (closes docs/SOUNDNESS.md gap #1)."""
+    from ..commit import pedersen
+
+    if proof.aux_coms is None:
+        return False, "proof has no aux commitments"
+    if proof.a_polys is None:
+        return False, "committed aux requires a chained proof"
+
+    def check(opening, com, point_ints, expected, what):
+        ok, msg = pedersen.verify_open(opening, point_ints, expected_value=expected)
+        if not ok:
+            return f"{what}: {msg}"
+        ok, msg = pedersen.verify_open_against_com(opening, com, point_ints)
+        if not ok:
+            return f"{what}: {msg}"
+        return None
+
+    coms = proof.aux_coms
+    v_z = sc.scalars_to_ints(proof.v_z_bin)
+    err = check(proof.open_mag_bin, coms.mag, v_z,
+                sc.scalars_to_ints(proof.mag_final[None])[0], "mag_bin@v_z")
+    if err:
+        return False, err
+    v_r = sc.scalars_to_ints(proof.v_r_bin)
+    err = check(proof.open_rem_bin, coms.rem, v_r,
+                sc.scalars_to_ints(proof.rem_final[None])[0], "rem_bin@v_r")
+    if err:
+        return False, err
+
+    u_rec = sc.scalars_to_ints(proof.u_recover)
+    w_q = sc.scalars_to_ints(proof.w_q)
+    eq_q = _eq_weights(w_q, Q)
+    mag_claims = sc.scalars_to_ints(proof.mag_bits_at_u)
+    expect = 0
+    for e, b in zip(eq_q, mag_claims):
+        expect = HF.add(expect, HF.mul(e, b))
+    err = check(proof.open_mag_rec, coms.mag, w_q + u_rec, expect, "mag_bin@w||u_rec")
+    if err:
+        return False, err
+    w_r = sc.scalars_to_ints(proof.w_r)
+    eq_r = _eq_weights(w_r, R)
+    rem_claims = sc.scalars_to_ints(proof.rem_bits_at_u)
+    expect = 0
+    for e, b in zip(eq_r, rem_claims):
+        expect = HF.add(expect, HF.mul(e, b))
+    err = check(proof.open_rem_rec, coms.rem, w_r + u_rec, expect, "rem_bin@w||u_rec")
+    if err:
+        return False, err
+
+    v_hp = sc.scalars_to_ints(proof.v_hp)
+    err = check(proof.open_sign_hp, coms.sign, v_hp,
+                sc.scalars_to_ints(proof.hp_finals)[1], "sign@v_hp")
+    if err:
+        return False, err
+    err = check(proof.open_sign_rec, coms.sign, u_rec,
+                sc.scalars_to_ints(proof.a_finals)[1], "sign@v_a")
+    if err:
+        return False, err
     return True, ""
 
 

@@ -251,6 +251,8 @@ def sharded_commit_dlogs(mesh: Mesh, t: jax.Array, dlogs: jax.Array, axis: str =
         prods = fr.mul(t3, jnp.broadcast_to(d, t3.shape))
         s = prods
         while s.shape[1] > 1:
+            if s.shape[1] % 2:
+                s = jnp.concatenate([s, jnp.zeros_like(s[:, :1])], axis=1)
             s = fr.add(s[:, 0::2], s[:, 1::2])
         return s[:, 0]
 
@@ -333,6 +335,7 @@ def prove_sharded(model, X, Y_hat, Z_list, A_list, aux_list, mesh: Mesh,
 
     if challenges is None:
         challenges = FiatShamir()
+    mlp_mod.absorb_statement(challenges, model.layers, X, Y_hat)
     n_layers = len(model.layers)
     fc_proofs: list = [None] * n_layers
     relu_proofs: list = [None] * (n_layers - 1)
