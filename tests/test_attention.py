@@ -117,3 +117,48 @@ def test_attention_rejects_tampered_softmax():
     proof = attn.prove(tr, FiatShamir())
     ok, _ = attn.verify(proof)
     assert not ok
+
+
+# ---------------------------------------------------------------------------
+# committed-witness tier: the full attention claim DAG bound to commitments
+# ---------------------------------------------------------------------------
+
+
+def test_attention_committed_prove_verify():
+    attn, X, _ = _tiny_attention()
+    Y, tr = attn.forward(X)
+    proof = attn.prove(tr, FiatShamir(), commit_witness=True)
+    assert proof.witness is not None
+    ok, msg = attn.verify(proof, X=X, Y=Y)
+    assert ok, msg
+
+
+def test_attention_committed_rejects_wrong_output():
+    attn, X, _ = _tiny_attention()
+    Y, tr = attn.forward(X)
+    proof = attn.prove(tr, FiatShamir(), commit_witness=True)
+    Y_bad = Y.at[0].set(fr.mont(jnp.asarray(fr.from_ints([7 << 16])))[0])
+    ok, msg = attn.verify(proof, X=X, Y=Y_bad)
+    assert not ok and "anchor" in msg.lower()
+
+
+def test_attention_committed_rejects_tampered_opening():
+    attn, X, _ = _tiny_attention()
+    Y, tr = attn.forward(X)
+    proof = attn.prove(tr, FiatShamir(), commit_witness=True)
+    # forge mm_s's left-operand final: swap the opening for a different point
+    op = proof.witness.openings["at.mm_s.fa"]
+    op.proof.final_scalar = op.proof.final_scalar.at[0].add(jnp.uint32(1))
+    ok, msg = attn.verify(proof)
+    assert not ok
+
+
+def test_attention_committed_rejects_inconsistent_rescale():
+    attn, X, _ = _tiny_attention()
+    Y, tr = attn.forward(X)
+    # corrupt Q (the rescale output) but keep aux honest for Q_raw: the
+    # Z = (2*sign-1)*mag product binding must catch it
+    tr["Q"] = tr["Q"].at[1].set(fr.mont(jnp.asarray(fr.from_ints([5 << 16])))[0])
+    proof = attn.prove(tr, FiatShamir(), commit_witness=True)
+    ok, msg = attn.verify(proof)
+    assert not ok

@@ -127,3 +127,33 @@ def test_generator_pow_comb_matches_double_and_add():
     ref = g1.scalar_mul_jit(g1.generator((4,)), scalars)
     for a, b in zip(convert.jac_from_device(comb), convert.jac_from_device(ref)):
         assert host_g1.eq_points(a, b)
+
+
+def test_glv_decompose():
+    rng = random.Random(5)
+    scalars = [rng.randrange(fr.P_INT) for _ in range(6)]
+    scal = jnp.asarray(fr.from_ints(scalars))
+    s1, s2 = jax.jit(g1.glv_decompose)(scal)
+    s1i = fr.to_ints(np.asarray(s1))
+    s2i = fr.to_ints(np.asarray(s2))
+    for s, a, b in zip(scalars, s1i, s2i):
+        assert a + g1._LAMBDA_INT * b == s, (s, a, b)
+        assert a < g1._LAMBDA_INT and b <= s // g1._LAMBDA_INT
+
+
+def test_scalar_mul_glv_group_equal():
+    rng = random.Random(6)
+    scalars = [rng.randrange(fr.P_INT) for _ in range(3)] + [0, 1, g1._LAMBDA_INT]
+    base = g1.generator((len(scalars),))
+    scal = jnp.asarray(fr.from_ints(scalars))
+    got = convert.affine_from_device(jax.jit(g1.scalar_mul_glv)(base, scal))
+    for s, aff in zip(scalars, got):
+        want = host_g1.to_affine(host_g1.scalar_mul(host_g1.GENERATOR, s))
+        assert aff == want, s
+
+
+def test_endomorphism_is_lambda():
+    P = g1.generator((1,))
+    phi = convert.affine_from_device(g1.endomorphism(P))[0]
+    want = host_g1.to_affine(host_g1.scalar_mul(host_g1.GENERATOR, g1._LAMBDA_INT))
+    assert phi == want

@@ -70,3 +70,49 @@ def test_softmax_tampered_P_fails(scores):
     proof = zksoftmax.prove(S, wit, ROWS, COLS, DM, SeededRng(7))
     ok, msg = zksoftmax.verify(proof)
     assert not ok
+
+
+# ---------------------------------------------------------------------------
+# committed-witness tier (commit/witness.py): every forwarded claim is a
+# verified Pedersen opening
+# ---------------------------------------------------------------------------
+
+
+def test_softmax_committed_prove_verify(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    proof = zksoftmax.prove_committed(S, wit, ROWS, COLS, DM, SeededRng(7))
+    assert proof.witness is not None and len(proof.witness.openings) > 20
+    ok, msg = zksoftmax.verify(proof)
+    assert ok, msg
+
+
+def test_softmax_committed_tampered_opening_fails(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    proof = zksoftmax.prove_committed(S, wit, ROWS, COLS, DM, SeededRng(7))
+    op = proof.witness.openings["sm.e@lk"]
+    bad = op.proof.final_scalar.at[0].add(jnp.uint32(1))
+    op.proof.final_scalar = bad
+    ok, msg = zksoftmax.verify(proof)
+    assert not ok and "binding" in msg or not ok
+
+
+def test_softmax_committed_missing_opening_fails(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    proof = zksoftmax.prove_committed(S, wit, ROWS, COLS, DM, SeededRng(7))
+    del proof.witness.openings["sm.S@u_rec"]
+    ok, msg = zksoftmax.verify(proof)
+    assert not ok and "binding" in msg
+
+
+def test_softmax_committed_swapped_commitment_fails(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    proof = zksoftmax.prove_committed(S, wit, ROWS, COLS, DM, SeededRng(7))
+    # claim the 'e' tensor commitment is actually the 'P' commitment: every
+    # opening of e must now fail the commitment-evaluation check
+    proof.witness.coms["sm.e"] = proof.witness.coms["sm.P"]
+    ok, msg = zksoftmax.verify(proof)
+    assert not ok and "binding" in msg

@@ -137,7 +137,9 @@ def commit(gens: Generators, t: jax.Array) -> RowCommitments:
     gx = jnp.broadcast_to(gens.points.x, (m, gen_size, 12))
     gy = jnp.broadcast_to(gens.points.y, (m, gen_size, 12))
     gz = jnp.broadcast_to(gens.points.z, (m, gen_size, 12))
-    prods = g1.scalar_mul_jit(g1.G1Jac(gx, gy, gz), t_unmont)
+    # GLV dual-window walk: ~2.3x fewer point ops than the reference's
+    # double-and-add orbit (g1-tensor.cu:422-431) on the opaque-SRS path
+    prods = g1.scalar_mul_glv_jit(g1.G1Jac(gx, gy, gz), t_unmont)
     p = g1.G1Jac(
         jnp.moveaxis(prods.x, 1, 0), jnp.moveaxis(prods.y, 1, 0), jnp.moveaxis(prods.z, 1, 0)
     )
@@ -230,10 +232,10 @@ def me_open(t: jax.Array, gens: g1.G1Jac, u_in: jax.Array):
         t = fr.add(s0, fr.mul(jnp.broadcast_to(u, s0.shape), fr.sub(s1, s0)))
         u_unmont = fr.unmont(u)
         gdiff = g1.add_jit(gg0, g1.neg(gg1))
-        gens = g1.add_jit(gg1, g1.scalar_mul_jit(gdiff, jnp.broadcast_to(u_unmont, (*gdiff.shape, 8))))
-        tA = g1.add_jit(g1.scalar_mul_jit(gg0, s0), g1.scalar_mul_jit(gg1, s1))
-        t0 = g1.scalar_mul_jit(gg1, s0)
-        t1 = g1.scalar_mul_jit(gg0, s1)
+        gens = g1.add_jit(gg1, g1.scalar_mul_glv_jit(gdiff, jnp.broadcast_to(u_unmont, (*gdiff.shape, 8))))
+        tA = g1.add_jit(g1.scalar_mul_glv_jit(gg0, s0), g1.scalar_mul_glv_jit(gg1, s1))
+        t0 = g1.scalar_mul_glv_jit(gg1, s0)
+        t1 = g1.scalar_mul_glv_jit(gg0, s1)
         sA, s0p, s1p = g1.g1_sum(tA), g1.g1_sum(t0), g1.g1_sum(t1)
         round_points.append(
             g1.G1Jac(

@@ -214,6 +214,121 @@ def scalar_mul_windowed(p: G1Jac, scalar: jax.Array, window: int = 4) -> G1Jac:
 
 
 # ---------------------------------------------------------------------------
+# GLV endomorphism scalar multiplication (variable base)
+# ---------------------------------------------------------------------------
+#
+# BLS12-381 G1 carries the cube-root endomorphism phi(x, y) = (beta*x, y) with
+# phi(P) = lambda*P, lambda = X^2 - 1 for the BLS parameter X (lambda^2 +
+# lambda + 1 = 0 mod r since r = X^4 - X^2 + 1). Splitting s = s1 + lambda*s2
+# by INTEGER division (r ~ lambda^2 makes both halves < 2^129) halves the
+# doubling ladder: a dual 4-bit-window walk over 128-bit halves costs ~128
+# doubles + ~96 adds per point vs the reference double-and-add's 256 + 256
+# (g1-tensor.cu:422-431) — the TPU-native answer to the reference's dead
+# bucketed-multiexp kernel (bls12-381.cu:1446-1506) for OPAQUE bases (the
+# transparent fast path avoids variable-base work entirely via generator_pow).
+# The 256-bit Barrett division runs on-device as two digit-matrix products
+# (mp._shift_add_product) — no host round-trip.
+
+_X_BLS = -0xD201000000010000
+_LAMBDA_INT = _X_BLS**2 - 1  # 128 bits
+_BETA_INT = 0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAC
+_M_BARRETT = (1 << 256) // _LAMBDA_INT  # 129 bits
+
+# import-time pins (cf. fr.py's reference-constant asserts)
+from ..field import fr as _fr  # noqa: E402
+
+assert _fr.P_INT == _X_BLS**4 - _X_BLS**2 + 1, "BLS parameter"
+assert (_LAMBDA_INT**2 + _LAMBDA_INT + 1) % _fr.P_INT == 0, "lambda order"
+assert pow(_BETA_INT, 3, fp.P_INT) == 1 and _BETA_INT != 1, "beta order"
+
+_LAMBDA_DIGITS = mp.digits_from_int(_LAMBDA_INT, 8)
+_LAMBDA_LIMBS = mp.limbs_from_int(_LAMBDA_INT, 8)
+_M_DIGITS = mp.digits_from_int(_M_BARRETT, 9)
+_BETA_MONT = mp.limbs_from_int(fp.SPEC.to_mont_int(_BETA_INT), 12)
+
+
+def glv_decompose(scalar: jax.Array):
+    """(…, 8) non-Montgomery scalars < r -> (s1, s2) with s = s1 + lambda*s2,
+    both < 2^129 (only the low 5 limbs can be nonzero). Barrett by the
+    constant lambda: qhat = floor(s * m / 2^256) undershoots floor(s/lambda)
+    by at most 2; corrected branchlessly."""
+    sd = mp.to_digits(scalar)  # (…, 16)
+    md = jnp.broadcast_to(jnp.asarray(_M_DIGITS), (*sd.shape[:-1], 9))
+    cols = mp._shift_add_product(sd, md, 25)
+    prod = mp._carry_normalize(cols, 25)  # s*m < 2^384: 24 digits + slack
+    qhat_d = prod[..., 16:24]  # floor(/2^256), < 2^128
+    lam_d = jnp.broadcast_to(jnp.asarray(_LAMBDA_DIGITS), qhat_d.shape)
+    ql_cols = mp._shift_add_product(qhat_d, lam_d, 16)
+    ql = mp.from_digits(mp._carry_normalize(ql_cols, 16))  # (…, 8) limbs
+    rem, _ = mp._raw_sub(scalar, ql)  # >= 0 since qhat <= q
+    q4 = mp.from_digits(qhat_d)  # (…, 4) limbs (128 bits)
+    q = jnp.concatenate([q4, jnp.zeros_like(q4)], axis=-1)  # widen to 8
+    lam = jnp.broadcast_to(jnp.asarray(_LAMBDA_LIMBS), rem.shape)
+    one = jnp.zeros_like(q).at[..., 0].set(1)
+    for _ in range(2):  # qhat undershoot correction
+        ge = mp._gte(rem, lam)
+        rem = jnp.where(ge[..., None], mp._raw_sub(rem, lam)[0], rem)
+        q = jnp.where(ge[..., None], mp._raw_add(q, one)[0], q)
+    return rem, q
+
+
+def endomorphism(p: G1Jac) -> G1Jac:
+    """phi(x, y, z) = (beta*x, y, z) — one Fp mul."""
+    beta = jnp.broadcast_to(jnp.asarray(_BETA_MONT), p.x.shape)
+    return G1Jac(fp.mul(p.x, beta), p.y, p.z)
+
+
+_GLV_WINDOW = 4
+_GLV_BITS = 132  # ceil over 129 to a window multiple
+_GLV_WINDOWS = _GLV_BITS // _GLV_WINDOW
+
+
+def _window_digits(scalar: jax.Array) -> jax.Array:
+    """Low 5 limbs -> (…, 33) 4-bit windows, LSB first."""
+    shifts = jnp.arange(0, 32, _GLV_WINDOW, dtype=jnp.uint32)
+    d = (scalar[..., :5, None] >> shifts) & jnp.uint32((1 << _GLV_WINDOW) - 1)
+    return d.reshape(*scalar.shape[:-1], 40)[..., :_GLV_WINDOWS]
+
+
+def _mk_table(p: G1Jac):
+    table = [identity(p.shape), p]
+    for k in range(2, 1 << _GLV_WINDOW):
+        table.append(add(table[k - 1], p))
+    return (jnp.stack([t.x for t in table]), jnp.stack([t.y for t in table]),
+            jnp.stack([t.z for t in table]))
+
+
+def scalar_mul_glv(p: G1Jac, scalar: jax.Array) -> G1Jac:
+    """GLV + dual fixed-window scalar mul; group-equal to scalar_mul for any
+    scalar < r (Jacobian coordinates differ; compare in affine)."""
+    s1, s2 = glv_decompose(scalar)
+    t1 = _mk_table(p)
+    t2 = _mk_table(endomorphism(p))
+    d1 = _window_digits(s1)
+    d2 = _window_digits(s2)
+
+    def lookup(t, d):
+        tx, ty, tz = t
+        px = jnp.take_along_axis(tx, d[None, ..., None], axis=0)[0]
+        py = jnp.take_along_axis(ty, d[None, ..., None], axis=0)[0]
+        pz = jnp.take_along_axis(tz, d[None, ..., None], axis=0)[0]
+        return G1Jac(px, py, pz)
+
+    def body(j, out):
+        i = _GLV_WINDOWS - 1 - j
+        for _ in range(_GLV_WINDOW):
+            out = double(out)
+        out = add(out, lookup(t1, jax.lax.dynamic_index_in_dim(d1, i, axis=-1, keepdims=False)))
+        out = add(out, lookup(t2, jax.lax.dynamic_index_in_dim(d2, i, axis=-1, keepdims=False)))
+        return out
+
+    return jax.lax.fori_loop(0, _GLV_WINDOWS, body, identity(p.shape))
+
+
+scalar_mul_glv_jit = jax.jit(scalar_mul_glv)
+
+
+# ---------------------------------------------------------------------------
 # fixed-base exponentiation of the generator (comb method)
 # ---------------------------------------------------------------------------
 #

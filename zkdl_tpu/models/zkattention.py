@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..commit import witness as wcommit
 from ..field import fr
 from ..sumcheck import protocols as sc
 from ..sumcheck.transcript import ChallengeSource
@@ -285,25 +286,106 @@ class ZkAttention:
         Y, tr["y_aux"] = zkrescale.forward(Yr); tr["Y"] = Y
         return Y, tr
 
-    def prove(self, tr: dict, challenges: ChallengeSource) -> "ZkAttentionProof":
+    def prove(self, tr: dict, challenges: ChallengeSource,
+              commit_witness: bool = False) -> "ZkAttentionProof":
         s, d = self.seq, self.d_model
-        fc_q = zkfc.prove(self.wq, tr["X"], tr["Q_raw"], challenges)
-        rs_q = zkrescale.prove(tr["Q_raw"], tr["q_aux"], challenges)
-        fc_k = zkfc.prove(self.wk, tr["X"], tr["K_raw"], challenges)
-        rs_k = zkrescale.prove(tr["K_raw"], tr["k_aux"], challenges)
-        fc_v = zkfc.prove(self.wv, tr["X"], tr["V_raw"], challenges)
-        rs_v = zkrescale.prove(tr["V_raw"], tr["v_aux"], challenges)
-        mm_s = matmul_prove(tr["Q"], tr["Kt"], tr["S_raw"], s, d, s, challenges)
-        rs_s = zkrescale.prove(tr["S_raw"], tr["s_aux"], challenges)
-        sm = zksoftmax.prove(tr["S"], tr["sm_wit"], s, s, d, challenges)
-        mm_o = matmul_prove(tr["P"], tr["V"], tr["O_raw"], s, s, d, challenges)
-        rs_o = zkrescale.prove(tr["O_raw"], tr["o_aux"], challenges)
-        fc_y = zkfc.prove(self.wo, tr["O"], tr["Y_raw"], challenges)
-        rs_y = zkrescale.prove(tr["Y_raw"], tr["y_aux"], challenges)
-        return ZkAttentionProof(fc_q, rs_q, fc_k, rs_k, fc_v, rs_v,
-                                mm_s, rs_s, sm, mm_o, rs_o, fc_y, rs_y)
+        if not commit_witness:
+            fc_q = zkfc.prove(self.wq, tr["X"], tr["Q_raw"], challenges)
+            rs_q = zkrescale.prove(tr["Q_raw"], tr["q_aux"], challenges)
+            fc_k = zkfc.prove(self.wk, tr["X"], tr["K_raw"], challenges)
+            rs_k = zkrescale.prove(tr["K_raw"], tr["k_aux"], challenges)
+            fc_v = zkfc.prove(self.wv, tr["X"], tr["V_raw"], challenges)
+            rs_v = zkrescale.prove(tr["V_raw"], tr["v_aux"], challenges)
+            mm_s = matmul_prove(tr["Q"], tr["Kt"], tr["S_raw"], s, d, s, challenges)
+            rs_s = zkrescale.prove(tr["S_raw"], tr["s_aux"], challenges)
+            sm = zksoftmax.prove(tr["S"], tr["sm_wit"], s, s, d, challenges)
+            mm_o = matmul_prove(tr["P"], tr["V"], tr["O_raw"], s, s, d, challenges)
+            rs_o = zkrescale.prove(tr["O_raw"], tr["o_aux"], challenges)
+            fc_y = zkfc.prove(self.wo, tr["O"], tr["Y_raw"], challenges)
+            rs_y = zkrescale.prove(tr["Y_raw"], tr["y_aux"], challenges)
+            return ZkAttentionProof(fc_q, rs_q, fc_k, rs_k, fc_v, rs_v,
+                                    mm_s, rs_s, sm, mm_o, rs_o, fc_y, rs_y)
 
-    def verify(self, proof: "ZkAttentionProof") -> tuple[bool, str]:
+        # --- committed-witness tier -------------------------------------
+        # Commit EVERY intermediate tensor + rescale/softmax aux before the
+        # first challenge; every forwarded claim in the proof DAG becomes a
+        # verified Pedersen opening (commit/witness.py module docstring).
+        wc = wcommit.Committer()
+        for nm in ("X", "Q_raw", "Q", "K_raw", "K", "V_raw", "V",
+                   "S_raw", "S", "O_raw", "O", "Y_raw", "Y"):
+            wc.commit(f"at.{nm}", tr[nm])
+        for tag in ("q", "k", "v", "s", "o", "y"):
+            zkrescale.commit_witness(wc, tr[f"{tag}_aux"], f"at.{tag}.")
+        zksoftmax.commit_witness(wc, tr["S"], tr["sm_wit"], s, s,
+                                 prefix="at.sm.", s_name="at.S")
+        wc.absorb(challenges)
+
+        def fc_open(tag, proof_fc, x_name, z_name):
+            wc.open(f"at.{tag}.fa", x_name,
+                    jnp.concatenate([proof_fc.u_in, proof_fc.u_bs], axis=0))
+            wc.open(f"at.{tag}.z", z_name,
+                    jnp.concatenate([proof_fc.u_out, proof_fc.u_bs], axis=0))
+
+        def mm_open(tag, proof_mm, a_name, b_name, c_name, b_transposed):
+            # When the right operand entered the matmul TRANSPOSED (K^T), its
+            # MLE point in terms of the committed row-major tensor has its
+            # halves swapped: Kt(u_cols||u_k) == K(u_k||u_cols).
+            wc.open(f"at.{tag}.fa", a_name,
+                    jnp.concatenate([proof_mm.u_k, proof_mm.u_rows], axis=0))
+            b_pt = ([proof_mm.u_k, proof_mm.u_cols] if b_transposed
+                    else [proof_mm.u_cols, proof_mm.u_k])
+            wc.open(f"at.{tag}.fb", b_name, jnp.concatenate(b_pt, axis=0))
+            wc.open(f"at.{tag}.z", c_name,
+                    jnp.concatenate([proof_mm.u_cols, proof_mm.u_rows], axis=0))
+
+        fc_q = zkfc.prove(self.wq, tr["X"], tr["Q_raw"], challenges)
+        fc_open("fc_q", fc_q, "at.X", "at.Q_raw")
+        rs_q = zkrescale.prove_committed(tr["Q_raw"], tr["Q"], tr["q_aux"],
+                                         wc, "at.q.", challenges, "at.Q_raw", "at.Q")
+        fc_k = zkfc.prove(self.wk, tr["X"], tr["K_raw"], challenges)
+        fc_open("fc_k", fc_k, "at.X", "at.K_raw")
+        rs_k = zkrescale.prove_committed(tr["K_raw"], tr["K"], tr["k_aux"],
+                                         wc, "at.k.", challenges, "at.K_raw", "at.K")
+        fc_v = zkfc.prove(self.wv, tr["X"], tr["V_raw"], challenges)
+        fc_open("fc_v", fc_v, "at.X", "at.V_raw")
+        rs_v = zkrescale.prove_committed(tr["V_raw"], tr["V"], tr["v_aux"],
+                                         wc, "at.v.", challenges, "at.V_raw", "at.V")
+        mm_s = matmul_prove(tr["Q"], tr["Kt"], tr["S_raw"], s, d, s, challenges)
+        mm_open("mm_s", mm_s, "at.Q", "at.K", "at.S_raw", b_transposed=True)
+        rs_s = zkrescale.prove_committed(tr["S_raw"], tr["S"], tr["s_aux"],
+                                         wc, "at.s.", challenges, "at.S_raw", "at.S")
+        sm = zksoftmax.prove(tr["S"], tr["sm_wit"], s, s, d, challenges,
+                             witness=wc, prefix="at.sm.", s_name="at.S")
+        mm_o = matmul_prove(tr["P"], tr["V"], tr["O_raw"], s, s, d, challenges)
+        mm_open("mm_o", mm_o, "at.sm.P", "at.V", "at.O_raw", b_transposed=False)
+        rs_o = zkrescale.prove_committed(tr["O_raw"], tr["O"], tr["o_aux"],
+                                         wc, "at.o.", challenges, "at.O_raw", "at.O")
+        fc_y = zkfc.prove(self.wo, tr["O"], tr["Y_raw"], challenges)
+        fc_open("fc_y", fc_y, "at.O", "at.Y_raw")
+        rs_y = zkrescale.prove_committed(tr["Y_raw"], tr["Y"], tr["y_aux"],
+                                         wc, "at.y.", challenges, "at.Y_raw", "at.Y")
+
+        # public anchors: the committed X / Y are opened at fresh points the
+        # verifier re-evaluates against the claimed public tensors
+        u_x = challenges.random_vec(fr_ops.ceil_log2(tr["X"].shape[0]))
+        wc.open("at.X@anchor", "at.X", u_x)
+        u_y = challenges.random_vec(fr_ops.ceil_log2(tr["Y"].shape[0]))
+        wc.open("at.Y@anchor", "at.Y", u_y)
+
+        return ZkAttentionProof(fc_q, rs_q, fc_k, rs_k, fc_v, rs_v,
+                                mm_s, rs_s, sm, mm_o, rs_o, fc_y, rs_y,
+                                witness=wc.witness_set(), u_x=u_x, u_y=u_y)
+
+    def verify(self, proof: "ZkAttentionProof",
+               X: jax.Array | None = None,
+               Y: jax.Array | None = None) -> tuple[bool, str]:
+        """Verify the block proof. Committed-witness proofs additionally bind
+        every forwarded claim to the witness commitments and (when X/Y are
+        given) anchor the committed input/output to the public tensors."""
+        if proof.witness is not None:
+            return self._verify_committed(proof, X, Y)
+        if X is not None or Y is not None:
+            return False, "public anchors require a committed-witness proof"
         checks = [
             ("fc_q", lambda: zkfc.verify(self.wq.com, proof.fc_q)),
             ("rs_q", lambda: zkrescale.verify(proof.rs_q)),
@@ -325,6 +407,95 @@ class ZkAttention:
                 return False, f"{name}: {msg}"
         return True, ""
 
+    def _verify_committed(self, proof: "ZkAttentionProof",
+                          X: jax.Array | None,
+                          Y: jax.Array | None) -> tuple[bool, str]:
+        from ..field import host
+
+        HF = host.fr
+        ck = wcommit.Checker(proof.witness)
+        ints = sc.scalars_to_ints
+
+        def fc_bind(tag, fc_proof, com, x_name, z_name):
+            ok, msg = zkfc.verify(com, fc_proof)
+            if not ok:
+                return f"{tag}: {msg}"
+            fa = ints(fc_proof.ip_finals)[0]
+            try:
+                ck.require(f"at.{tag}.fa", x_name,
+                           ints(fc_proof.u_in) + ints(fc_proof.u_bs), fa,
+                           f"{tag} input final")
+                ck.require(f"at.{tag}.z", z_name,
+                           ints(fc_proof.u_out) + ints(fc_proof.u_bs),
+                           ints(fc_proof.z_claim[None])[0], f"{tag} output claim")
+            except wcommit.BindingError as e:
+                return f"{tag}: {e}"
+            return None
+
+        def mm_bind(tag, mm_proof, a_name, b_name, c_name, b_transposed):
+            ok, msg = matmul_verify(mm_proof)
+            if not ok:
+                return f"{tag}: {msg}"
+            fa, fb = ints(mm_proof.ip_finals)
+            b_pt = (ints(mm_proof.u_k) + ints(mm_proof.u_cols) if b_transposed
+                    else ints(mm_proof.u_cols) + ints(mm_proof.u_k))
+            try:
+                ck.require(f"at.{tag}.fa", a_name,
+                           ints(mm_proof.u_k) + ints(mm_proof.u_rows), fa,
+                           f"{tag} left final")
+                ck.require(f"at.{tag}.fb", b_name, b_pt, fb, f"{tag} right final")
+                ck.require(f"at.{tag}.z", c_name,
+                           ints(mm_proof.u_cols) + ints(mm_proof.u_rows),
+                           ints(mm_proof.z_claim[None])[0], f"{tag} output claim")
+            except wcommit.BindingError as e:
+                return f"{tag}: {e}"
+            return None
+
+        steps = [
+            fc_bind("fc_q", proof.fc_q, self.wq.com, "at.X", "at.Q_raw"),
+            zkrescale.verify_committed(proof.rs_q, ck, "at.q.", "at.Q_raw", "at.Q"),
+            fc_bind("fc_k", proof.fc_k, self.wk.com, "at.X", "at.K_raw"),
+            zkrescale.verify_committed(proof.rs_k, ck, "at.k.", "at.K_raw", "at.K"),
+            fc_bind("fc_v", proof.fc_v, self.wv.com, "at.X", "at.V_raw"),
+            zkrescale.verify_committed(proof.rs_v, ck, "at.v.", "at.V_raw", "at.V"),
+            mm_bind("mm_s", proof.mm_s, "at.Q", "at.K", "at.S_raw", True),
+            zkrescale.verify_committed(proof.rs_s, ck, "at.s.", "at.S_raw", "at.S"),
+            zksoftmax.verify(proof.sm, checker=ck, prefix="at.sm.", s_name="at.S"),
+            mm_bind("mm_o", proof.mm_o, "at.sm.P", "at.V", "at.O_raw", False),
+            zkrescale.verify_committed(proof.rs_o, ck, "at.o.", "at.O_raw", "at.O"),
+            fc_bind("fc_y", proof.fc_y, self.wo.com, "at.O", "at.Y_raw"),
+            zkrescale.verify_committed(proof.rs_y, ck, "at.y.", "at.Y_raw", "at.Y"),
+        ]
+        names = ["fc_q", "rs_q", "fc_k", "rs_k", "fc_v", "rs_v", "mm_s",
+                 "rs_s", "softmax", "mm_o", "rs_o", "fc_y", "rs_y"]
+        for name, res in zip(names, steps):
+            if res is None:
+                continue
+            if isinstance(res, tuple):
+                ok, msg = res
+                if not ok:
+                    return False, f"{name}: {msg}"
+            else:
+                return False, str(res)
+
+        # public anchors
+        try:
+            if X is not None:
+                want = ints(fr_ops.me_eval(X, proof.u_x)[None])[0]
+                got = ck.value("at.X@anchor", "at.X", ints(proof.u_x))
+                if got != want:
+                    return False, "public X anchor mismatch"
+            else:
+                ck.value("at.X@anchor", "at.X", ints(proof.u_x))
+            if Y is not None:
+                want = ints(fr_ops.me_eval(Y, proof.u_y)[None])[0]
+                got = ck.value("at.Y@anchor", "at.Y", ints(proof.u_y))
+                if got != want:
+                    return False, "public Y anchor mismatch"
+        except wcommit.BindingError as e:
+            return False, f"anchor: {e}"
+        return True, ""
+
 
 @dataclasses.dataclass
 class ZkAttentionProof:
@@ -341,9 +512,15 @@ class ZkAttentionProof:
     rs_o: zkrelu.ZkReluProof
     fc_y: zkfc.ZkFCProof
     rs_y: zkrelu.ZkReluProof
+    # committed-witness tier (None = claim-forwarding mode); in committed
+    # proofs the rs_* fields hold zkrescale.RescaleBinding objects instead
+    witness: "wcommit.WitnessSet | None" = None
+    u_x: jax.Array | None = None  # public-input anchor point
+    u_y: jax.Array | None = None  # public-output anchor point
 
     def block_until_ready(self):
-        jax.block_until_ready(self.rs_y.hp_polys)
+        rs = self.rs_y
+        jax.block_until_ready(rs.hp_polys if hasattr(rs, "hp_polys") else rs.base.hp_polys)
         return self
 
 

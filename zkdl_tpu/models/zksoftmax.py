@@ -59,6 +59,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..commit import witness as wcommit
 from ..field import fr, host
 from ..sumcheck import lookup
 from ..sumcheck import protocols as sc
@@ -301,6 +302,64 @@ def rowsum_prove(M: jax.Array, rows: int, cols: int, challenges: ChallengeSource
 
 
 # ---------------------------------------------------------------------------
+# committed-witness tier (commit/witness.py): tensor inventory
+# ---------------------------------------------------------------------------
+
+
+def _hs_and_smax(h_m: jax.Array, S: jax.Array, rows: int, cols: int):
+    hs = fr.mul(h_m, S)
+    hs3 = hs.reshape(rows, cols, 8)
+    smax_m = hs3[:, 0]
+    for c in range(1, cols):
+        smax_m = fr.add(smax_m, hs3[:, c])
+    return hs, smax_m
+
+
+def _range_widths(cols: int) -> dict:
+    """range-proof name -> (witness key / derived, width)."""
+    return {
+        "dfull_bits": ("d_full", D_FULL_BITS),
+        "rem8_bits": ("rem8", REM_BITS),
+        "d_bits": ("d", D_BITS),
+        "dgap_bits": (None, D_FULL_BITS),  # d_full - d
+        "r_bits": ("r", R_BITS),
+        "er_bits": (None, R_BITS),  # E_bcast - 1 - r
+        "slack_bits": ("slack", fr_ops.ceil_log2(cols) + 1),
+    }
+
+
+def commit_witness(wc: "wcommit.Committer", S: jax.Array, wit: dict,
+                   rows: int, cols: int, prefix: str = "sm.",
+                   s_name: str | None = None) -> None:
+    """Commit every softmax circuit tensor into `wc` (call BEFORE wc.absorb,
+    hence before any challenge is drawn). When `s_name` is given, S is assumed
+    committed already under that name (e.g. by the enclosing attention block);
+    otherwise it is committed as {prefix}S."""
+    if s_name is None:
+        wc.commit(f"{prefix}S", S)
+    h_m = _mont_from_u64(jnp.asarray(wit["h"]))
+    wc.commit(f"{prefix}h", h_m)
+    hs, smax_m = _hs_and_smax(h_m, S, rows, cols)
+    wc.commit(f"{prefix}hs", hs)
+    wc.commit(f"{prefix}smax", smax_m)
+    wc.commit(f"{prefix}e", _mont_from_u64(jnp.asarray(wit["e"])))
+    wc.commit(f"{prefix}E", _mont_from_u64(jnp.asarray(wit["E"])))
+    wc.commit(f"{prefix}P", wit["P_mont"])
+    widths = _range_widths(cols)
+    vals = {
+        "dfull_bits": wit["d_full"], "rem8_bits": wit["rem8"],
+        "d_bits": wit["d"], "dgap_bits": wit["d_full"] - wit["d"],
+        "r_bits": wit["r"],
+        "er_bits": (wit["E"].repeat(cols) - 1 - wit["r"]).astype(np.uint64),
+        "slack_bits": wit["slack"],
+    }
+    for nm, (_, width) in widths.items():
+        log_w = fr_ops.ceil_log2(width)
+        bits = _bits_tensor(jnp.asarray(vals[nm], dtype=jnp.uint64), 1 << log_w)
+        wc.commit(f"{prefix}{nm}", bits)
+
+
+# ---------------------------------------------------------------------------
 # the full softmax proof
 # ---------------------------------------------------------------------------
 
@@ -349,17 +408,35 @@ class ZkSoftmaxProof:
     p_rowsum: RowSumProof
     slack_range: RangeProof
     slack_at_urow: jax.Array  # (8,) slack MLE at p_rowsum.u_row
+    # committed-witness tier (commit/witness.py; None = claim-forwarding mode)
+    witness: "wcommit.WitnessSet | None" = None
 
 
 def prove(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
-          challenges: ChallengeSource) -> ZkSoftmaxProof:
+          challenges: ChallengeSource,
+          witness: "wcommit.Committer | None" = None,
+          prefix: str = "sm.", s_name: str | None = None) -> ZkSoftmaxProof:
     """Prove the quantized-softmax circuit for witness `wit` (softmax_witness).
 
     Challenge-draw order is fixed; every sub-proof absorbs its messages.
+
+    Committed-witness mode: pass a Committer already holding this circuit's
+    tensors (commit_witness) and ALREADY absorbed; every forwarded claim then
+    gets a Pedersen opening binding it to the committed tensors. `s_name`
+    names S's commitment when the caller committed it (attention blocks).
     """
     n = rows * cols
     log_n = fr_ops.ceil_log2(n)
     log_rows = fr_ops.ceil_log2(rows)
+    W, px = witness, prefix
+    sn = s_name or f"{px}S"
+
+    def rp_open(nm: str, rp: RangeProof) -> None:
+        if W is None:
+            return
+        log_w = fr_ops.ceil_log2(rp.width)
+        W.open(f"{px}{nm}@v", f"{px}{nm}", rp.v)
+        W.open_recombined(f"{px}{nm}.rec", f"{px}{nm}", rp.u_rec, log_w)
 
     h_m = _mont_from_u64(jnp.asarray(wit["h"]))
     t_m = _mont_from_u64(jnp.asarray(wit["t"]))
@@ -374,39 +451,58 @@ def prove(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
     # ones' MLE is 1 everywhere, so each row's sum being 1 makes the folded
     # claim exactly 1)
     h_range = range_prove(wit["h"], 1, challenges.random_vec(log_n), challenges)
+    rp_open("h", h_range)
     h_rowsum = rowsum_prove(h_m, rows, cols, challenges)
+    if W is not None:
+        W.open(f"{px}h@rowsum", f"{px}h",
+               jnp.concatenate([h_rowsum.u_col, h_rowsum.u_row], axis=0))
 
     # 2/3. t decomposition + definition at a shared point u_rec
     u_rec = challenges.random_vec(log_n)
     dfull_range = range_prove(wit["d_full"], D_FULL_BITS, u_rec, challenges)
+    rp_open("dfull_bits", dfull_range)
     rem8_range = range_prove(wit["rem8"], REM_BITS, u_rec, challenges)
+    rp_open("rem8_bits", rem8_range)
     s_at_urec = fr_ops.me_eval(S, u_rec)
+    if W is not None:
+        W.open(f"{px}S@u_rec", sn, u_rec)
     # Smax selection: hs = h (.) S bound by a hadamard sumcheck (claim = hs MLE
     # at hs_u, finals chain to h/S claims); Smax = row sums of hs (rowsum
     # proof); Smax_bcast(u_rec) = Smax(u_rec row part) (broadcast MLE identity)
-    hs = fr.mul(h_m, S)
+    hs, smax_m = _hs_and_smax(h_m, S, rows, cols)
     hs_u = challenges.random_vec(log_n)
     hs_v = challenges.random_vec(log_n)
     hs_polys, hs_finals = sc.hadamard_prove_scan(h_m, S, hs_u, hs_v)
     hs_claim = fr_ops.me_eval(hs, hs_u)
     challenges.absorb_array(hs_polys)
+    if W is not None:
+        W.open(f"{px}h@hs_v", f"{px}h", hs_v)
+        W.open(f"{px}S@hs_v", sn, hs_v)
+        W.open(f"{px}hs@hs_u", f"{px}hs", hs_u)
     smax_rowsum = rowsum_prove(hs, rows, cols, challenges)
-    # Smax as a field tensor (signed values => build by field row sums of hs)
-    hs3 = hs.reshape(rows, cols, 8)
-    smax_m = hs3[:, 0]
-    for c in range(1, cols):
-        smax_m = fr.add(smax_m, hs3[:, c])
     log_cols = fr_ops.ceil_log2(cols)
     smax_at_urec_row = fr_ops.me_eval(smax_m, u_rec[log_cols:])
+    if W is not None:
+        W.open(f"{px}hs@rowsum", f"{px}hs",
+               jnp.concatenate([smax_rowsum.u_col, smax_rowsum.u_row], axis=0))
+        W.open(f"{px}smax@rowsum", f"{px}smax", smax_rowsum.u_row)
+        W.open(f"{px}smax@u_rec_row", f"{px}smax", u_rec[log_cols:])
 
     # 4. clip
     d_range = range_prove(wit["d"], D_BITS, u_rec, challenges)
+    rp_open("d_bits", d_range)
     dgap = wit["d_full"] - wit["d"]
     dgap_range = range_prove(dgap, D_FULL_BITS, u_rec, challenges)
+    rp_open("dgap_bits", dgap_range)
     dmax = fr.mont(fr_ops.from_u32(jnp.full((n,), D_MAX, jnp.uint32)))
     clip_zero = zero_product_prove(
         fr.sub(dfull_m, d_m), fr.sub(d_m, dmax), challenges
     )
+    if W is not None:
+        W.open_recombined(f"{px}dfull.clip", f"{px}dfull_bits", clip_zero.v,
+                          fr_ops.ceil_log2(D_FULL_BITS))
+        W.open_recombined(f"{px}d.clip", f"{px}d_bits", clip_zero.v,
+                          fr_ops.ceil_log2(D_BITS))
 
     # 5. exp lookup on pair values
     pair_vals = (wit["d"] << np.uint64(E_PAIR)) | wit["e"]
@@ -419,9 +515,17 @@ def prove(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
     lk = lookup.prove(a_pairs, tab, m, challenges)
     d_at_lk = fr_ops.me_eval(d_m, lk.v_w)
     e_at_lk = fr_ops.me_eval(e_m, lk.v_w)
+    if W is not None:
+        W.open_recombined(f"{px}d.lk", f"{px}d_bits", lk.v_w,
+                          fr_ops.ceil_log2(D_BITS))
+        W.open(f"{px}e@lk", f"{px}e", lk.v_w)
 
     # 6. division: e*2^16 - P (.) E_bcast - r == 0
     e_rowsum = rowsum_prove(e_m, rows, cols, challenges)
+    if W is not None:
+        W.open(f"{px}e@rowsum", f"{px}e",
+               jnp.concatenate([e_rowsum.u_col, e_rowsum.u_row], axis=0))
+        W.open(f"{px}E@erowsum", f"{px}E", e_rowsum.u_row)
     E_bcast = _mont_from_u64(jnp.asarray(np.repeat(wit["E"], cols)))
     div_u = challenges.random_vec(log_n)
     div_v = challenges.random_vec(log_n)
@@ -431,14 +535,26 @@ def prove(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
     r_at_div = fr_ops.me_eval(r_m, div_u)
     E_at_divrow = fr_ops.me_eval(E_m, div_u[fr_ops.ceil_log2(cols):])
     challenges.absorb_array(div_polys)
+    if W is not None:
+        W.open(f"{px}P@div_v", f"{px}P", div_v)
+        W.open(f"{px}E@div_v", f"{px}E", div_v[fr_ops.ceil_log2(cols):])
+        W.open(f"{px}e@div", f"{px}e", div_u)
+        # r@div_u binding rides the r_bits recombination opening (same point)
+        W.open(f"{px}E@div_row", f"{px}E", div_u[fr_ops.ceil_log2(cols):])
     r_range = range_prove(wit["r"], R_BITS, div_u, challenges)
+    rp_open("r_bits", r_range)
     er_vals = (wit["E"].repeat(cols) - 1 - wit["r"]).astype(np.uint64)
     er_range = range_prove(er_vals, R_BITS, div_u, challenges)
+    rp_open("er_bits", er_range)
 
     # 7. P row sums + slack
     p_rowsum = rowsum_prove(P_m, rows, cols, challenges)
+    if W is not None:
+        W.open(f"{px}P@rowsum", f"{px}P",
+               jnp.concatenate([p_rowsum.u_col, p_rowsum.u_row], axis=0))
     slack_bits = fr_ops.ceil_log2(cols) + 1
     slack_range = range_prove(wit["slack"], slack_bits, p_rowsum.u_row, challenges)
+    rp_open("slack_bits", slack_range)
     slack_m = _mont_from_u64(jnp.asarray(wit["slack"]))
     slack_at_urow = fr_ops.me_eval(slack_m, p_rowsum.u_row)
 
@@ -456,7 +572,125 @@ def prove(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
     )
 
 
-def verify(proof: ZkSoftmaxProof) -> tuple[bool, str]:
+def prove_committed(S: jax.Array, wit: dict, rows: int, cols: int, d_model: int,
+                    challenges: ChallengeSource) -> ZkSoftmaxProof:
+    """Standalone committed-witness prove: commits every circuit tensor
+    (absorbed before the first draw), then proves with openings."""
+    wc = wcommit.Committer()
+    commit_witness(wc, S, wit, rows, cols)
+    wc.absorb(challenges)
+    proof = prove(S, wit, rows, cols, d_model, challenges, witness=wc)
+    proof.witness = wc.witness_set()
+    return proof
+
+
+def _check_bound(proof: ZkSoftmaxProof, ck: "wcommit.Checker",
+                 prefix: str = "sm.", s_name: str | None = None) -> None:
+    """Committed-witness checks: every forwarded claim must equal a verified
+    opening of the corresponding committed tensor (raises BindingError)."""
+    px = prefix
+    sn = s_name or f"{px}S"
+    ints = sc.scalars_to_ints
+    one = HF.one_mont
+    rows, cols = proof.rows, proof.cols
+    log_cols = fr_ops.ceil_log2(cols)
+
+    def rp_bind(nm: str, rp: RangeProof) -> None:
+        tn = f"{px}{nm}"
+        log_w = fr_ops.ceil_log2(rp.width)
+        ck.require(f"{px}{nm}@v", tn, ints(rp.v),
+                   ints(rp.final[None])[0], f"{nm} binary final")
+        got = ck.recombined(f"{px}{nm}.rec", tn, ints(rp.u_rec), log_w)
+        if got != rp.value_claim():
+            raise wcommit.BindingError(f"{nm}: recombination claim unbound")
+
+    rp_bind("h", proof.h_range)
+    rp_bind("dfull_bits", proof.dfull_range)
+    rp_bind("rem8_bits", proof.rem8_range)
+    rp_bind("d_bits", proof.d_range)
+    rp_bind("dgap_bits", proof.dgap_range)
+    rp_bind("r_bits", proof.r_range)
+    rp_bind("er_bits", proof.er_range)
+    rp_bind("slack_bits", proof.slack_range)
+
+    u_rec = ints(proof.u_rec)
+    ck.require(f"{px}S@u_rec", sn, u_rec,
+               ints(proof.s_at_urec[None])[0], "S@u_rec")
+    hs_u, hs_v = ints(proof.hs_u), ints(proof.hs_v)
+    hf = ints(proof.hs_finals)
+    ck.require(f"{px}h@hs_v", f"{px}h", hs_v, hf[0], "hs hadamard h-final")
+    ck.require(f"{px}S@hs_v", sn, hs_v, hf[1], "hs hadamard S-final")
+    ck.require(f"{px}hs@hs_u", f"{px}hs", hs_u,
+               ints(proof.hs_claim[None])[0], "hs claim")
+    ck.require(f"{px}h@rowsum", f"{px}h",
+               ints(proof.h_rowsum.u_col) + ints(proof.h_rowsum.u_row),
+               ints(proof.h_rowsum.finals)[0], "h rowsum final")
+    sr = proof.smax_rowsum
+    ck.require(f"{px}hs@rowsum", f"{px}hs",
+               ints(sr.u_col) + ints(sr.u_row),
+               ints(sr.finals)[0], "smax rowsum final")
+    ck.require(f"{px}smax@rowsum", f"{px}smax", ints(sr.u_row),
+               ints(sr.claim[None])[0], "smax rowsum claim")
+    ck.require(f"{px}smax@u_rec_row", f"{px}smax", u_rec[log_cols:],
+               ints(proof.smax_at_urec_row[None])[0], "smax@u_rec_row")
+
+    # clip operands at the zero-product fold point
+    clip_v = ints(proof.clip_zero.v)
+    dfull_clip = ck.recombined(f"{px}dfull.clip", f"{px}dfull_bits", clip_v,
+                               fr_ops.ceil_log2(D_FULL_BITS))
+    d_clip = ck.recombined(f"{px}d.clip", f"{px}d_bits", clip_v,
+                           fr_ops.ceil_log2(D_BITS))
+    cf = ints(proof.clip_zero.finals)
+    if cf[0] != HF.sub(dfull_clip, d_clip):
+        raise wcommit.BindingError("clip: (d_full - d) final unbound")
+    if cf[1] != HF.sub(d_clip, HF.mont(D_MAX)):
+        raise wcommit.BindingError("clip: (d - D_MAX) final unbound")
+
+    v_w = ints(proof.lk.v_w)
+    got = ck.recombined(f"{px}d.lk", f"{px}d_bits", v_w, fr_ops.ceil_log2(D_BITS))
+    if got != ints(proof.d_at_lk[None])[0]:
+        raise wcommit.BindingError("lookup: d claim unbound")
+    ck.require(f"{px}e@lk", f"{px}e", v_w,
+               ints(proof.e_at_lk[None])[0], "lookup e claim")
+
+    er_ = proof.e_rowsum
+    ck.require(f"{px}e@rowsum", f"{px}e", ints(er_.u_col) + ints(er_.u_row),
+               ints(er_.finals)[0], "e rowsum final")
+    ck.require(f"{px}E@erowsum", f"{px}E", ints(er_.u_row),
+               ints(er_.claim[None])[0], "E != e row sums")
+
+    div_u, div_v = ints(proof.div_zero_u), ints(proof.div_zero_v)
+    df = ints(proof.div_finals)
+    ck.require(f"{px}P@div_v", f"{px}P", div_v, df[0], "division P final")
+    ck.require(f"{px}E@div_v", f"{px}E", div_v[log_cols:], df[1],
+               "division E_bcast final")
+    ck.require(f"{px}e@div", f"{px}e", div_u,
+               ints(proof.e_at_div[None])[0], "e@div")
+    r_div = ck.recombined(f"{px}r_bits.rec", f"{px}r_bits", div_u,
+                          fr_ops.ceil_log2(R_BITS))
+    if r_div != ints(proof.r_at_div[None])[0]:
+        raise wcommit.BindingError("r@div claim unbound")
+    E_div_row = ck.value(f"{px}E@div_row", f"{px}E", div_u[log_cols:])
+    if E_div_row != ints(proof.E_at_divrow[None])[0]:
+        raise wcommit.BindingError("E@div_row claim unbound")
+    # r < E binding: (E_bcast - 1 - r)(div_u) must equal the er range tensor
+    er_rec = ck.recombined(f"{px}er_bits.rec", f"{px}er_bits", div_u,
+                           fr_ops.ceil_log2(R_BITS))
+    if er_rec != HF.sub(HF.sub(E_div_row, one), r_div):
+        raise wcommit.BindingError("er range tensor != E - 1 - r at div_u")
+
+    pr = proof.p_rowsum
+    ck.require(f"{px}P@rowsum", f"{px}P", ints(pr.u_col) + ints(pr.u_row),
+               ints(pr.finals)[0], "P rowsum final")
+    slack_rec = ck.recombined(f"{px}slack_bits.rec", f"{px}slack_bits",
+                              ints(pr.u_row), fr_ops.ceil_log2(proof.slack_range.width))
+    if slack_rec != ints(proof.slack_at_urow[None])[0]:
+        raise wcommit.BindingError("slack@u_row claim unbound")
+
+
+def verify(proof: ZkSoftmaxProof,
+           checker: "wcommit.Checker | None" = None,
+           prefix: str = "sm.", s_name: str | None = None) -> tuple[bool, str]:
     rows, cols = proof.rows, proof.cols
     checks: list[tuple[str, tuple[bool, str]]] = []
     checks.append(("h binary", proof.h_range.verify()))
@@ -532,4 +766,11 @@ def verify(proof: ZkSoftmaxProof) -> tuple[bool, str]:
     for name, (ok, msg) in checks:
         if not ok:
             return False, f"{name}: {msg}"
+    if checker is None and proof.witness is not None:
+        checker = wcommit.Checker(proof.witness)
+    if checker is not None:
+        try:
+            _check_bound(proof, checker, prefix=prefix, s_name=s_name)
+        except wcommit.BindingError as e:
+            return False, f"binding: {e}"
     return True, ""
