@@ -1,5 +1,6 @@
 """Tests for zkRescale and the zkAttention block."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from zkdl_tpu.field import fr, host
 from zkdl_tpu.models import quantize, zkattention, zkfc, zkrescale
 from zkdl_tpu.sumcheck.transcript import FiatShamir
 from zkdl_tpu.tensor import fr_ops
+
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles; excluded from the smoke tier
 
 HF = host.fr
 
@@ -146,11 +149,32 @@ def test_attention_committed_rejects_tampered_opening():
     attn, X, _ = _tiny_attention()
     Y, tr = attn.forward(X)
     proof = attn.prove(tr, FiatShamir(), commit_witness=True)
-    # forge mm_s's left-operand final: swap the opening for a different point
+    # forge mm_s's left-operand final: perturb the revealed fold so the
+    # verifier's MSM no longer matches the row-commitment MLE
     op = proof.witness.openings["at.mm_s.fa"]
-    op.proof.final_scalar = op.proof.final_scalar.at[0].add(jnp.uint32(1))
+    op.proof.t_folded = op.proof.t_folded.at[0, 0].add(jnp.uint32(1))
     ok, msg = attn.verify(proof)
     assert not ok
+
+
+def test_attention_committed_transcript_replay():
+    attn, X, _ = _tiny_attention()
+    Y, tr = attn.forward(X)
+    proof = attn.prove(tr, FiatShamir(), commit_witness=True)
+    ok, msg = attn.verify(proof, X=X, Y=Y, transcript=FiatShamir())
+    assert ok, msg
+
+
+def test_attention_committed_replay_rejects_swapped_point():
+    """The attack transcript replay exists to stop: replace a challenge point
+    with an adaptively chosen one. Without replay the committed checks still
+    pass structurally; with replay the derived challenge differs."""
+    attn, X, _ = _tiny_attention()
+    Y, tr = attn.forward(X)
+    proof = attn.prove(tr, FiatShamir(), commit_witness=True)
+    proof.u_x = proof.u_x.at[0, 0].add(jnp.uint32(1))
+    ok, msg = attn.verify(proof, X=X, Y=Y, transcript=FiatShamir())
+    assert not ok and "transcript" in msg, msg
 
 
 def test_attention_committed_rejects_inconsistent_rescale():

@@ -51,9 +51,9 @@ def test_committed_rejects_tampered_opening(committed_proof):
     model, X, Y, proof = committed_proof
     bad = _clone(proof)
     op = bad.relu_proofs[0].open_mag_bin
-    fs = np.asarray(op.final_scalar).copy()
-    fs[0] ^= 1
-    bad.relu_proofs[0].open_mag_bin = dataclasses.replace(op, final_scalar=jnp.asarray(fs))
+    fs = np.asarray(op.t_folded).copy()
+    fs[0, 0] ^= 1
+    bad.relu_proofs[0].open_mag_bin = dataclasses.replace(op, t_folded=jnp.asarray(fs))
     ok, msg = model.verify(bad, X=X, Y_hat=Y)
     assert not ok and "committed-aux" in msg, msg
 
@@ -73,9 +73,9 @@ def test_committed_rejects_tampered_sign_opening(committed_proof):
     model, X, Y, proof = committed_proof
     bad = _clone(proof)
     op = bad.relu_proofs[0].open_sign_rec
-    fs = np.asarray(op.final_scalar).copy()
-    fs[0] ^= 1
-    bad.relu_proofs[0].open_sign_rec = dataclasses.replace(op, final_scalar=jnp.asarray(fs))
+    fs = np.asarray(op.t_folded).copy()
+    fs[0, 0] ^= 1
+    bad.relu_proofs[0].open_sign_rec = dataclasses.replace(op, t_folded=jnp.asarray(fs))
     ok, msg = model.verify(bad, X=X, Y_hat=Y)
     assert not ok and "sign@v_a" in msg, msg
 

@@ -9,6 +9,8 @@ from zkdl_tpu.models import quantize, zkconv
 from zkdl_tpu.sumcheck.transcript import FiatShamir
 from zkdl_tpu.tensor import fr_ops
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles; excluded from the smoke tier
+
 
 def _float_conv(x, k, stride, pad):
     b, h, w, cin = x.shape

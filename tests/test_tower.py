@@ -11,6 +11,8 @@ from zkdl_tpu.field import fp2, fr, host
 from zkdl_tpu.field.fp2 import host as hfp2
 from zkdl_tpu.tensor import fft, fr_ops
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles; excluded from the smoke tier
+
 HF = host.fr
 
 

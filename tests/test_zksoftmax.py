@@ -9,6 +9,8 @@ from zkdl_tpu.field import fr, mp
 from zkdl_tpu.models import quantize, zksoftmax
 from zkdl_tpu.sumcheck.transcript import SeededRng
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles; excluded from the smoke tier
+
 
 ROWS, COLS, DM = 4, 8, 16
 
@@ -92,10 +94,9 @@ def test_softmax_committed_tampered_opening_fails(scores):
     wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
     proof = zksoftmax.prove_committed(S, wit, ROWS, COLS, DM, SeededRng(7))
     op = proof.witness.openings["sm.e@lk"]
-    bad = op.proof.final_scalar.at[0].add(jnp.uint32(1))
-    op.proof.final_scalar = bad
+    op.proof.t_folded = op.proof.t_folded.at[0, 0].add(jnp.uint32(1))
     ok, msg = zksoftmax.verify(proof)
-    assert not ok and "binding" in msg or not ok
+    assert not ok and "binding" in msg
 
 
 def test_softmax_committed_missing_opening_fails(scores):
@@ -105,6 +106,18 @@ def test_softmax_committed_missing_opening_fails(scores):
     del proof.witness.openings["sm.S@u_rec"]
     ok, msg = zksoftmax.verify(proof)
     assert not ok and "binding" in msg
+
+
+def test_softmax_committed_transcript_replay(scores):
+    S, _ = scores
+    wit = zksoftmax.softmax_witness(S, ROWS, COLS, DM)
+    proof = zksoftmax.prove_committed(S, wit, ROWS, COLS, DM, SeededRng(7))
+    ok, msg = zksoftmax.verify(proof, transcript=SeededRng(7))
+    assert ok, msg
+    # swapped challenge point: replay must reject
+    proof.u_rec = proof.u_rec.at[0, 0].add(jnp.uint32(1))
+    ok, msg = zksoftmax.verify(proof, transcript=SeededRng(7))
+    assert not ok and "transcript" in msg, msg
 
 
 def test_softmax_committed_swapped_commitment_fails(scores):

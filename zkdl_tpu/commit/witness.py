@@ -98,7 +98,7 @@ def top_point_dev(log_w: int) -> jax.Array:
 class Opening:
     name: str  # committed tensor this opening is against
     point: jax.Array  # (r, 8) Montgomery, r == log2(padded size)
-    proof: pedersen.OpeningProof
+    proof: pedersen.FoldOpening
 
 
 @dataclasses.dataclass
@@ -111,7 +111,11 @@ class WitnessSet:
 
 
 def _gens_for(log_n: int) -> pedersen.Generators:
-    return pedersen.aux_generators(1 << ((log_n + 1) // 2))
+    # NUMS generators: dlogs unknown to everyone (incl. the prover committing
+    # its own witnesses), so the commitments are binding under DL. A PRNG-
+    # derived vector (pedersen.aux_generators) would let any prover regenerate
+    # the dlogs and open to arbitrary values.
+    return pedersen.nums_generators(1 << ((log_n + 1) // 2))
 
 
 class Committer:
@@ -155,14 +159,16 @@ class Committer:
 
     def open(self, label: str, name: str, point: jax.Array) -> jax.Array:
         """Open `name` at `point` ((log_n, 8) mont). Returns the opened MLE
-        value ((8,) mont) — by construction the opening's final scalar."""
+        value ((8,) mont) — the MLE of the revealed fold at the point's low
+        coordinates (== t's MLE at the full point)."""
         assert label not in self.openings, f"duplicate opening {label}"
         t, gens, com = self._tensors[name], self._gens[name], self.coms[name]
         assert point.shape[0] == self.log_sizes[name], (
             label, point.shape, self.log_sizes[name])
-        proof = pedersen.open_planar(gens, t, com, point)
+        proof = pedersen.open_reveal(gens, t, com, point)
         self.openings[label] = Opening(name, point, proof)
-        return proof.final_scalar
+        log_gen = fr_ops.ceil_log2(gens.size)
+        return fr_ops.me_eval(proof.t_folded, point[:log_gen])
 
     def open_recombined(self, label: str, name: str, u: jax.Array, log_w: int) -> None:
         """Open a bit tensor at (pow2_point || u): the opening value is
@@ -197,7 +203,11 @@ class Checker:
 
     def value(self, label: str, name: str, point_ints: list[int]) -> int:
         """Bound MLE value of committed tensor `name` at `point_ints`
-        (Montgomery ints, low variables first), proven by opening `label`."""
+        (Montgomery ints, low variables first), proven by opening `label`.
+
+        The generator vector is regenerated from len(point_ints) alone — no
+        attacker-controlled size metadata decides which NUMS points bind the
+        commitment."""
         op = self.ws.openings.get(label)
         if op is None:
             raise BindingError(f"missing opening {label}")
@@ -206,16 +216,20 @@ class Checker:
         got_pt = fr.to_ints(np.asarray(op.point).reshape(-1, 8))
         if got_pt != list(point_ints):
             raise BindingError(f"{label}: opened at a different point")
+        log_gen = (len(point_ints) + 1) // 2
         if label not in self._checked:
-            ok, msg = pedersen.verify_open(op.proof, got_pt)
+            com = self.ws.coms.get(name)
+            if com is None:
+                # attacker-controlled dict: a missing commitment is a clean
+                # rejection, not a KeyError crash
+                raise BindingError(f"{label}: no commitment for {name}")
+            gens = pedersen.nums_generators(1 << log_gen)
+            ok, msg = pedersen.verify_reveal(op.proof, gens, com, got_pt)
             if not ok:
-                raise BindingError(f"{label}: {msg}")
-            ok, msg = pedersen.verify_open_against_com(
-                op.proof, self.ws.coms[name], got_pt)
-            if not ok:
-                raise BindingError(f"{label}: {msg}")
+                raise BindingError(f"{label}: binding: {msg}")
             self._checked.add(label)
-        return fr.to_ints(np.asarray(op.proof.final_scalar)[None])[0]
+        value = fr_ops.me_eval(jnp.asarray(op.proof.t_folded), op.point[:log_gen])
+        return fr.to_ints(np.asarray(value)[None])[0]
 
     def recombined(self, label: str, name: str, u_ints: list[int], log_w: int) -> int:
         """Bound recombined value sum_k 2^k B_k(u) of bit tensor `name`."""

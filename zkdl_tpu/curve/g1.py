@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import fp, mp
+from ..utils import aot
 
 
 class G1Jac(NamedTuple):
@@ -325,7 +326,7 @@ def scalar_mul_glv(p: G1Jac, scalar: jax.Array) -> G1Jac:
     return jax.lax.fori_loop(0, _GLV_WINDOWS, body, identity(p.shape))
 
 
-scalar_mul_glv_jit = jax.jit(scalar_mul_glv)
+scalar_mul_glv_jit = aot.jit(scalar_mul_glv)
 
 
 # ---------------------------------------------------------------------------
@@ -396,17 +397,17 @@ def generator_pow(scalar: jax.Array) -> G1Jac:
     return jax.lax.fori_loop(0, _COMB_WINDOWS, body, identity(scalar.shape[:-1]))
 
 
-generator_pow_jit = jax.jit(generator_pow)
+generator_pow_jit = aot.jit(generator_pow)
 
 
 # Module-level jitted primitives: the ONLY compile units for G1 work. Larger
 # graphs (commit, me_open, reductions) are Python loops over these so that the
 # compile cache is keyed by the small set of power-of-two shapes actually used.
-add_jit = jax.jit(add)
-add_mixed_jit = jax.jit(add_mixed)
-double_jit = jax.jit(double)
-scalar_mul_jit = jax.jit(scalar_mul)
-scalar_mul_windowed_jit = jax.jit(scalar_mul_windowed, static_argnums=(2,))
+add_jit = aot.jit(add)
+add_mixed_jit = aot.jit(add_mixed)
+double_jit = aot.jit(double)
+scalar_mul_jit = aot.jit(scalar_mul)
+scalar_mul_windowed_jit = aot.jit(scalar_mul_windowed, static_argnums=(2,))
 
 
 def g1_sum(p: G1Jac) -> G1Jac:

@@ -28,6 +28,12 @@ def main(argv=None):
     parser.add_argument("input")
     parser.add_argument("--out", default="demo.out")
     parser.add_argument("--verify", action="store_true")
+    parser.add_argument("--commit-aux", action="store_true",
+                        help="committed-aux soundness tier (NUMS witness "
+                             "commitments + revealed-fold openings)")
+    parser.add_argument("--interleave", action="store_true",
+                        help="round-interleaved Fiat-Shamir (textbook sumcheck "
+                             "FS order; one host round-trip per round)")
     args = parser.parse_args(argv)
 
     from .utils.runtime import enable_compile_cache
@@ -57,7 +63,9 @@ def main(argv=None):
             f.write("".join(f"{int(v):08x}" for v in reversed(row)) + "\n")
 
     t0 = time.perf_counter()
-    proof = model.prove(X, Y_hat, Z_list, A_list, aux_list)
+    proof = model.prove(X, Y_hat, Z_list, A_list, aux_list,
+                        commit_aux=args.commit_aux or None,
+                        interleave=args.interleave)
     proof.block_until_ready()
     dt = time.perf_counter() - t0
     print(f"Proof time: {dt / batch} seconds per data point.")
@@ -69,7 +77,8 @@ def main(argv=None):
         # chained verify with public anchors (claim chain walked from the
         # public output Y_hat down to the public input X) + full Fiat-Shamir
         # transcript replay (every challenge re-derived and compared)
-        ok, msg = model.verify(proof, X=X, Y_hat=Y_hat, transcript=FiatShamir())
+        ok, msg = model.verify(proof, X=X, Y_hat=Y_hat, transcript=FiatShamir(),
+                               interleaved=args.interleave)
         print(f"Verification: {'OK' if ok else 'FAILED: ' + msg} ({time.perf_counter() - t0:.2f}s)")
         return 0 if ok else 1
     return 0

@@ -155,12 +155,30 @@ class ProofCheckpoint:
         return load_proof(self._path(kind, idx), to_device=to_device)
 
 
-def prove_mlp_checkpointed(model, X, Y_hat, Z_list, A_list, aux_list, challenges, ckpt: ProofCheckpoint):
+def prove_mlp_checkpointed(model, X, Y_hat, Z_list, A_list, aux_list, challenges,
+                           ckpt: ProofCheckpoint, chain: bool | None = None,
+                           commit_aux: bool | None = None):
     """mlp.MLP.prove with per-layer checkpointing (same proof order/streams:
-    output layer first, then (relu_i, fc_i) backwards, demo.cu:128-137)."""
+    output layer first, then (relu_i, fc_i) backwards, demo.cu:128-137).
+
+    Defaults mirror MLP.prove: chained on the planar prover, committed aux per
+    config. Resuming replays checkpointed layers through the transcript (same
+    draw counts + absorbs) so the continuation's challenges are identical to an
+    uninterrupted run; chain points are reconstructed from the loaded proofs
+    (fc[i+1].u_in||u_bs and relu[i].u_recover are stored in the proof)."""
+    import jax.numpy as jnp
+
     from ..models import mlp as mlp_mod
     from ..models import zkfc, zkrelu
 
+    if chain is None:
+        chain = mlp_mod.USE_PLANAR_PROVER
+    if chain and not mlp_mod.USE_PLANAR_PROVER:
+        raise ValueError("chained proofs require the planar prover")
+    if commit_aux is None:
+        commit_aux = mlp_mod.COMMIT_AUX
+    if commit_aux and not chain:
+        raise ValueError("committed aux requires chained mode")
     mlp_mod.absorb_statement(challenges, model.layers, X, Y_hat)
     fc_prove = zkfc.prove_planar if mlp_mod.USE_PLANAR_PROVER else zkfc.prove
     relu_prove = zkrelu.prove_planar if mlp_mod.USE_PLANAR_PROVER else zkrelu.prove
@@ -168,37 +186,58 @@ def prove_mlp_checkpointed(model, X, Y_hat, Z_list, A_list, aux_list, challenges
     fc_proofs: list = [None] * n
     relu_proofs: list = [None] * (n - 1)
 
-    def fc_step(i, Xi, Zi):
+    def fc_step(i, Xi, Zi, z_point=None):
         if ckpt.has("fc", i):
             p = ckpt.load("fc", i)
-            _replay_fc(challenges, p)
+            _replay_fc(challenges, p, draw_all=z_point is None)
             return p
-        p = fc_prove(model.layers[i], Xi, Zi, challenges)
+        if mlp_mod.USE_PLANAR_PROVER:
+            p = fc_prove(model.layers[i], Xi, Zi, challenges, z_point=z_point)
+        else:
+            p = fc_prove(model.layers[i], Xi, Zi, challenges)
         ckpt.save("fc", i, p)
         return p
 
-    def relu_step(i):
+    def relu_step(i, chain_point=None):
         if ckpt.has("relu", i):
             p = ckpt.load("relu", i)
             _replay_relu(challenges, p)
             return p
-        p = relu_prove(Z_list[i], aux_list[i], challenges)
+        if chain_point is not None:
+            aux_com = zkrelu.commit_aux(aux_list[i]) if commit_aux else None
+            p = zkrelu.prove_planar(
+                Z_list[i], aux_list[i], challenges, chain_point=chain_point, aux_com=aux_com
+            )
+        else:
+            p = relu_prove(Z_list[i], aux_list[i], challenges)
         ckpt.save("relu", i, p)
         return p
 
     fc_proofs[n - 1] = fc_step(n - 1, A_list[n - 2] if n >= 2 else X, Y_hat)
     for i in range(n - 2, -1, -1):
-        relu_proofs[i] = relu_step(i)
-        fc_proofs[i] = fc_step(i, A_list[i - 1] if i > 0 else X, Z_list[i])
+        if chain:
+            w = jnp.concatenate([fc_proofs[i + 1].u_in, fc_proofs[i + 1].u_bs], axis=0)
+            relu_proofs[i] = relu_step(i, chain_point=w)
+            fc_proofs[i] = fc_step(
+                i, A_list[i - 1] if i > 0 else X, Z_list[i],
+                z_point=relu_proofs[i].u_recover,
+            )
+        else:
+            relu_proofs[i] = relu_step(i)
+            fc_proofs[i] = fc_step(i, A_list[i - 1] if i > 0 else X, Z_list[i])
     return mlp_mod.MLPProof(fc_proofs, relu_proofs)
 
 
-def _replay_fc(challenges, p) -> None:
+def _replay_fc(challenges, p, draw_all: bool = True) -> None:
     """Advance the transcript exactly as proving this fc layer did: same
-    challenge draws (counts from the saved proof's own vectors) and absorbs."""
-    challenges.random_vec(p.u_bs.shape[0])
+    challenge draws (counts from the saved proof's own vectors) and absorbs.
+    Chained fc layers (draw_all=False) drew only u_in — their z-point came
+    from the adjacent ReLU (zkfc.prove_planar z_point path)."""
+    if draw_all:
+        challenges.random_vec(p.u_bs.shape[0])
     challenges.random_vec(p.u_in.shape[0])
-    challenges.random_vec(p.u_out.shape[0])
+    if draw_all:
+        challenges.random_vec(p.u_out.shape[0])
     challenges.absorb_array(p.ip_polys)
     challenges.absorb_array(p.z_claim)
 

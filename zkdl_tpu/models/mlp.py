@@ -90,7 +90,8 @@ class MLP:
         return Y_hat, Z_list, A_list, aux_list
 
     def prove(self, X, Y_hat, Z_list, A_list, aux_list, challenges: ChallengeSource | None = None,
-              chain: bool | None = None, commit_aux: bool | None = None):
+              chain: bool | None = None, commit_aux: bool | None = None,
+              interleave: bool = False):
         """Backwards proving loop (demo.cu:128-137). Returns MLPProof.
 
         chain=True (default on the planar path) produces a GKR-style chained
@@ -105,7 +106,13 @@ class MLP:
         are drawn and opens them at every point where the proof claims their
         evaluations — the highest soundness tier (docs/SOUNDNESS.md gap #1
         closed). Default comes from config (off: matches the reference's
-        uncommitted aux)."""
+        uncommitted aux).
+
+        interleave=True uses the round-interleaved Fiat-Shamir schedule: each
+        sumcheck round polynomial is absorbed before the next fold challenge
+        is drawn (textbook sumcheck FS). One host round-trip per round; the
+        stream differs from the grouped default. Verify with
+        MLP.verify(transcript=..., interleaved=True)."""
         if challenges is None:
             challenges = FiatShamir()
         if chain is None:
@@ -116,31 +123,48 @@ class MLP:
             commit_aux = COMMIT_AUX
         if commit_aux and not chain:
             raise ValueError("committed aux requires chained mode")
+        if interleave and not USE_PLANAR_PROVER:
+            raise ValueError("interleaved FS requires the planar prover")
         absorb_statement(challenges, self.layers, X, Y_hat)
         fc_prove = zkfc.prove_planar if USE_PLANAR_PROVER else zkfc.prove
         relu_prove = zkrelu.prove_planar if USE_PLANAR_PROVER else zkrelu.prove
         n = len(self.layers)
         fc_proofs: list = [None] * n
         relu_proofs: list = [None] * (n - 1)
-        fc_proofs[n - 1] = fc_prove(self.layers[n - 1], A_list[n - 2] if n >= 2 else X, Y_hat, challenges)
+        if USE_PLANAR_PROVER:
+            fc_proofs[n - 1] = fc_prove(
+                self.layers[n - 1], A_list[n - 2] if n >= 2 else X, Y_hat, challenges,
+                interleave=interleave,
+            )
+        else:
+            fc_proofs[n - 1] = fc_prove(self.layers[n - 1], A_list[n - 2] if n >= 2 else X, Y_hat, challenges)
         for i in range(n - 2, -1, -1):
             A_prev = A_list[i - 1] if i > 0 else X
             if chain:
                 w = jnp.concatenate([fc_proofs[i + 1].u_in, fc_proofs[i + 1].u_bs], axis=0)
                 aux_com = zkrelu.commit_aux(aux_list[i]) if commit_aux else None
                 relu_proofs[i] = zkrelu.prove_planar(
-                    Z_list[i], aux_list[i], challenges, chain_point=w, aux_com=aux_com
+                    Z_list[i], aux_list[i], challenges, chain_point=w, aux_com=aux_com,
+                    interleave=interleave,
                 )
                 fc_proofs[i] = zkfc.prove_planar(
-                    self.layers[i], A_prev, Z_list[i], challenges, z_point=relu_proofs[i].u_recover
+                    self.layers[i], A_prev, Z_list[i], challenges,
+                    z_point=relu_proofs[i].u_recover, interleave=interleave,
                 )
             else:
-                relu_proofs[i] = relu_prove(Z_list[i], aux_list[i], challenges)
-                fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges)
+                if USE_PLANAR_PROVER:
+                    relu_proofs[i] = relu_prove(Z_list[i], aux_list[i], challenges,
+                                                interleave=interleave)
+                    fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges,
+                                            interleave=interleave)
+                else:
+                    relu_proofs[i] = relu_prove(Z_list[i], aux_list[i], challenges)
+                    fc_proofs[i] = fc_prove(self.layers[i], A_prev, Z_list[i], challenges)
         return MLPProof(fc_proofs, relu_proofs)
 
     def verify(self, proof: "MLPProof", X=None, Y_hat=None,
-               transcript: ChallengeSource | None = None) -> tuple[bool, str]:
+               transcript: ChallengeSource | None = None,
+               interleaved: bool = False) -> tuple[bool, str]:
         """Verify every layer proof, and — for chained proofs — the cross-layer
         claim chain: Y_hat's MLE anchors fc[n-1]'s z-claim (public output);
         each fc[i+1]'s X-side final is the initial claim of relu[i]'s
@@ -162,7 +186,7 @@ class MLP:
         if transcript is not None:
             if X is None or Y_hat is None:
                 return False, "transcript replay requires the public X and Y_hat"
-            ok, msg = self._verify_transcript(proof, X, Y_hat, transcript)
+            ok, msg = self._verify_transcript(proof, X, Y_hat, transcript, interleaved)
             if not ok:
                 return False, f"transcript: {msg}"
         for i in range(n):
@@ -217,18 +241,35 @@ class MLP:
         return True, ""
 
     def _verify_transcript(self, proof: "MLPProof", X, Y_hat,
-                           transcript: ChallengeSource) -> tuple[bool, str]:
+                           transcript: ChallengeSource,
+                           interleaved: bool = False) -> tuple[bool, str]:
         """Re-derive the full challenge stream and compare with the proof.
 
         Mirrors the prove() schedule exactly: statement absorption, then the
         output layer's draws, then per layer (backwards) the ReLU draws and the
         FC draws, absorbing each proof's messages where the prover did. In
         chained mode fc[i<n-1] draws only u_in (its z-point is relu[i]'s
-        u_recover — equality is enforced by the chain checks in verify)."""
+        u_recover — equality is enforced by the chain checks in verify).
+
+        interleaved=True replays the round-interleaved FS schedule instead
+        (see zkrelu._prove_planar_interleaved / zkfc.prove_planar): every fold
+        challenge is re-derived AFTER absorbing the corresponding round
+        polynomial, so a prover that chose any round poly after seeing the
+        fold challenge is caught."""
 
         def draw_eq(name: str, stored) -> bool:
             got = transcript.random_vec(stored.shape[0])
             return np.array_equal(np.asarray(got), np.asarray(stored))
+
+        def rounds_eq(name: str, polys, stored_vec) -> bool:
+            """Interleaved sumcheck replay: absorb poly[i], re-derive fold i."""
+            sp = np.asarray(stored_vec)
+            for i in range(sp.shape[0]):
+                transcript.absorb_array(polys[i])
+                got = np.asarray(transcript.random_vec(1))[0]
+                if not np.array_equal(got, sp[i]):
+                    return False
+            return True
 
         absorb_statement(transcript, self.layers, X, Y_hat)
         n = len(self.layers)
@@ -236,6 +277,15 @@ class MLP:
 
         def fc_replay(i: int, draw_all: bool) -> str | None:
             p = proof.fc_proofs[i]
+            if interleaved:
+                if draw_all:
+                    for name, stored in (("u_bs", p.u_bs), ("u_out", p.u_out)):
+                        if not draw_eq(name, stored):
+                            return f"fc[{i}].{name} not derived from the transcript"
+                transcript.absorb_array(p.z_claim)
+                if not rounds_eq("u_in", p.ip_polys, p.u_in):
+                    return f"fc[{i}].u_in not derived round-interleaved"
+                return None
             vecs = [("u_bs", p.u_bs), ("u_in", p.u_in), ("u_out", p.u_out)] if draw_all \
                 else [("u_in", p.u_in)]
             for name, stored in vecs:
@@ -249,6 +299,36 @@ class MLP:
             p = proof.relu_proofs[i]
             if p.aux_coms is not None:
                 zkrelu._absorb_aux_coms(transcript, p.aux_coms)
+            if interleaved:
+                if not draw_eq("u_z_bin", p.u_z_bin):
+                    return f"relu[{i}].u_z_bin not derived from the transcript"
+                if not rounds_eq("v_z", p.mag_polys, p.v_z_bin):
+                    return f"relu[{i}].v_z_bin not derived round-interleaved"
+                if not draw_eq("u_r_bin", p.u_r_bin):
+                    return f"relu[{i}].u_r_bin not derived from the transcript"
+                if not rounds_eq("v_r", p.rem_polys, p.v_r_bin):
+                    return f"relu[{i}].v_r_bin not derived round-interleaved"
+                if p.a_polys is not None:
+                    if not rounds_eq("v_a", p.a_polys, p.u_recover):
+                        return f"relu[{i}].u_recover not derived round-interleaved"
+                else:
+                    if not draw_eq("u_recover", p.u_recover):
+                        return f"relu[{i}].u_recover not derived from the transcript"
+                if not draw_eq("u_hp", p.u_hp):
+                    return f"relu[{i}].u_hp not derived from the transcript"
+                transcript.absorb_array(p.mag_bits_at_u)
+                transcript.absorb_array(p.rem_bits_at_u)
+                transcript.absorb_array(p.hp_claim)
+                if p.x_at_va is None:
+                    return f"relu[{i}]: interleaved proof missing x_at_va"
+                transcript.absorb_array(p.x_at_va)
+                if not rounds_eq("v_hp", p.hp_polys, p.v_hp):
+                    return f"relu[{i}].v_hp not derived round-interleaved"
+                if p.aux_coms is not None:
+                    for name, stored in (("w_q", p.w_q), ("w_r", p.w_r)):
+                        if not draw_eq(name, stored):
+                            return f"relu[{i}].{name} not derived from the transcript"
+                return None
             vecs = [("u_z_bin", p.u_z_bin), ("v_z_bin", p.v_z_bin),
                     ("u_r_bin", p.u_r_bin), ("v_r_bin", p.v_r_bin),
                     ("u_recover", p.u_recover), ("u_hp", p.u_hp),
@@ -295,13 +375,14 @@ class MLPProof:
         return self
 
 
-def prove_timed(model: MLP, X, batch_size: int, challenges=None):
+def prove_timed(model: MLP, X, batch_size: int, challenges=None, **prove_kwargs):
     """End-to-end like demo main (demo.cu:99-143): inference (untimed), then the
-    timed proving loop; returns (proof, seconds_per_data_point)."""
+    timed proving loop; returns (proof, seconds_per_data_point).
+    prove_kwargs forward to MLP.prove (chain/commit_aux/interleave)."""
     Y_hat, Z_list, A_list, aux_list = model.infer(X)
     jax.block_until_ready(Y_hat)
     t0 = time.perf_counter()
-    proof = model.prove(X, Y_hat, Z_list, A_list, aux_list, challenges)
+    proof = model.prove(X, Y_hat, Z_list, A_list, aux_list, challenges, **prove_kwargs)
     proof.block_until_ready()
     dt = time.perf_counter() - t0
     return proof, dt / batch_size

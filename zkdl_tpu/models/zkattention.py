@@ -378,10 +378,25 @@ class ZkAttention:
 
     def verify(self, proof: "ZkAttentionProof",
                X: jax.Array | None = None,
-               Y: jax.Array | None = None) -> tuple[bool, str]:
+               Y: jax.Array | None = None,
+               transcript: ChallengeSource | None = None) -> tuple[bool, str]:
         """Verify the block proof. Committed-witness proofs additionally bind
         every forwarded claim to the witness commitments and (when X/Y are
-        given) anchor the committed input/output to the public tensors."""
+        given) anchor the committed input/output to the public tensors.
+
+        transcript: a FRESH ChallengeSource of the prove-time mode. When
+        given (committed proofs only), the verifier re-derives the entire
+        challenge stream — witness-commitment absorption in canonical order,
+        every draw, every message absorb — and rejects any proof whose
+        challenge vectors weren't transcript-derived. Without it, evaluation
+        points are trusted from the proof (tamper evidence, not soundness
+        against a malicious prover)."""
+        if transcript is not None:
+            if proof.witness is None:
+                return False, "transcript replay requires a committed-witness proof"
+            err = self._replay_transcript(proof, transcript)
+            if err:
+                return False, f"transcript: {err}"
         if proof.witness is not None:
             return self._verify_committed(proof, X, Y)
         if X is not None or Y is not None:
@@ -406,6 +421,83 @@ class ZkAttention:
             if not ok:
                 return False, f"{name}: {msg}"
         return True, ""
+
+    def _replay_transcript(self, proof: "ZkAttentionProof",
+                           transcript: ChallengeSource) -> str | None:
+        """Mirror the committed prove() draw/absorb schedule exactly:
+        commitments (canonical insertion order), then per stage the sub-proof
+        draws and message absorbs (fc: u_bs/u_in/u_out + ip_polys/z_claim;
+        rescale: the 7 zkReLU draws + polys, then u1/v1 + sa_polys, u2/v2 +
+        sm_polys; matmul: u_rows/u_k/u_cols + ip_polys/z_claim; softmax:
+        zksoftmax.replay_transcript), finally the u_x/u_y public anchors.
+        Openings never touch the transcript."""
+        s = self.seq
+        names = ["at.X", "at.Q_raw", "at.Q", "at.K_raw", "at.K", "at.V_raw",
+                 "at.V", "at.S_raw", "at.S", "at.O_raw", "at.O", "at.Y_raw", "at.Y"]
+        for tag in ("q", "k", "v", "s", "o", "y"):
+            names += [f"at.{tag}.{x}" for x in ("sign", "mag", "rem", "abs")]
+        names += zksoftmax.witness_names(s, s, prefix="at.sm.", s_name="at.S")
+        err = zksoftmax.absorb_witness_coms(transcript, proof.witness, names)
+        if err:
+            return err
+
+        def draw_eq(tag, stored):
+            arr = np.asarray(stored).reshape(-1, 8)
+            got = np.asarray(transcript.random_vec(arr.shape[0]))
+            return None if np.array_equal(got, arr) else f"{tag} not transcript-derived"
+
+        def fc_rp(tag, p):
+            e = draw_eq(f"{tag}.u_bs", p.u_bs) or draw_eq(f"{tag}.u_in", p.u_in) \
+                or draw_eq(f"{tag}.u_out", p.u_out)
+            if e:
+                return e
+            transcript.absorb_array(p.ip_polys)
+            transcript.absorb_array(p.z_claim)
+            return None
+
+        def mm_rp(tag, p):
+            e = draw_eq(f"{tag}.u_rows", p.u_rows) or draw_eq(f"{tag}.u_k", p.u_k) \
+                or draw_eq(f"{tag}.u_cols", p.u_cols)
+            if e:
+                return e
+            transcript.absorb_array(p.ip_polys)
+            transcript.absorb_array(p.z_claim)
+            return None
+
+        def rs_rp(tag, p):
+            b = p.base
+            for nm, st in (("u_z", b.u_z_bin), ("v_z", b.v_z_bin),
+                           ("u_r", b.u_r_bin), ("v_r", b.v_r_bin),
+                           ("u_rec", b.u_recover), ("u_hp", b.u_hp),
+                           ("v_hp", b.v_hp)):
+                e = draw_eq(f"{tag}.{nm}", st)
+                if e:
+                    return e
+            transcript.absorb_array(b.mag_polys)
+            transcript.absorb_array(b.rem_polys)
+            transcript.absorb_array(b.hp_polys)
+            e = draw_eq(f"{tag}.u1", p.u1) or draw_eq(f"{tag}.v1", p.v1)
+            if e:
+                return e
+            transcript.absorb_array(p.sa_polys)
+            e = draw_eq(f"{tag}.u2", p.u2) or draw_eq(f"{tag}.v2", p.v2)
+            if e:
+                return e
+            transcript.absorb_array(p.sm_polys)
+            return None
+
+        err = fc_rp("fc_q", proof.fc_q) or rs_rp("rs_q", proof.rs_q) \
+            or fc_rp("fc_k", proof.fc_k) or rs_rp("rs_k", proof.rs_k) \
+            or fc_rp("fc_v", proof.fc_v) or rs_rp("rs_v", proof.rs_v) \
+            or mm_rp("mm_s", proof.mm_s) or rs_rp("rs_s", proof.rs_s) \
+            or zksoftmax.replay_transcript(proof.sm, transcript) \
+            or mm_rp("mm_o", proof.mm_o) or rs_rp("rs_o", proof.rs_o) \
+            or fc_rp("fc_y", proof.fc_y) or rs_rp("rs_y", proof.rs_y)
+        if err:
+            return err
+        if proof.u_x is None or proof.u_y is None:
+            return "missing public anchor points"
+        return draw_eq("u_x", proof.u_x) or draw_eq("u_y", proof.u_y)
 
     def _verify_committed(self, proof: "ZkAttentionProof",
                           X: jax.Array | None,

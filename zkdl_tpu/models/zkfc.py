@@ -35,6 +35,7 @@ from ..field import fr, host
 from ..sumcheck import protocols as sc
 from ..sumcheck.transcript import ChallengeSource
 from ..tensor import fr_ops
+from ..utils import aot
 
 HF = host.fr
 
@@ -67,7 +68,7 @@ def field_matmul(X: jax.Array, W: jax.Array, in_size: int, out_size: int, block:
     return Z.reshape(batch * out_size, 8)
 
 
-field_matmul_jit = jax.jit(field_matmul, static_argnums=(2, 3, 4))
+field_matmul_jit = aot.jit(field_matmul, static_argnums=(2, 3, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +195,7 @@ def field_matmul_fast(X: jax.Array, W: jax.Array, in_size: int, out_size: int) -
     return jnp.moveaxis(Zp, 0, -1).reshape(batch * out_size, 8)
 
 
-field_matmul_fast_jit = jax.jit(field_matmul_fast, static_argnums=(2, 3))
+field_matmul_fast_jit = aot.jit(field_matmul_fast, static_argnums=(2, 3))
 
 
 @dataclasses.dataclass
@@ -243,7 +244,7 @@ class ZkFCProof:
     opening: pedersen.OpeningProof
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(aot.jit, static_argnums=(6, 7))
 def _fc_prove_core(X, W, Z, u_bs, u_in, u_out, in_size, out_size):
     """The whole per-layer sumcheck fused into ONE jit: all rounds (statically
     halving shapes) trace inline — zero host round-trips per round, unlike the
@@ -255,7 +256,7 @@ def _fc_prove_core(X, W, Z, u_bs, u_in, u_out, in_size, out_size):
     return ip_polys, ip_finals, z_claim
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(aot.jit, static_argnums=(6, 7))
 def _fc_prep_planar(X, W, Z, u_bs, u_in, u_out, in_size, out_size):
     """Planar prep for the matmul sumcheck, one dispatch.
 
@@ -311,17 +312,45 @@ def prove(layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource) 
 
 def prove_planar(
     layer: ZkFC, X: jax.Array, Z: jax.Array, challenges: ChallengeSource,
-    z_point: jax.Array | None = None,
+    z_point: jax.Array | None = None, interleave: bool = False,
 ) -> ZkFCProof:
     """Planar/pallas prover; challenge order and proof stream identical to
     prove() (tests assert) when z_point is None.
 
     Chained mode: z_point (log_out + log_batch, 8) fixes (u_out || u_bs) to
     the adjacent ReLU's shared evaluation point v_a, so this proof's z_claim
-    must equal that proof's emitted X(v_a) — only u_in is drawn fresh."""
+    must equal that proof's emitted X(v_a) — only u_in is drawn fresh.
+
+    interleave=True: round-interleaved FS schedule — draw u_bs/u_out (the
+    statement evaluation points) first, absorb the claimed Z(u_out||u_bs),
+    then run the inner-product sumcheck absorbing each round polynomial
+    before deriving that round's fold challenge (u_in becomes a transcript
+    OUTPUT). Textbook sumcheck FS order; stream differs from grouped mode."""
     from ..sumcheck import planar_protocols as pp
 
     batch = X.shape[0] // layer.in_size
+    if interleave:
+        if z_point is None:
+            u_bs = challenges.random_vec(fr_ops.ceil_log2(batch))
+            u_out = challenges.random_vec(fr_ops.ceil_log2(layer.out_size))
+        else:
+            lo = fr_ops.ceil_log2(layer.out_size)
+            assert z_point.shape[0] == lo + fr_ops.ceil_log2(batch), (z_point.shape, lo, batch)
+            u_out, u_bs = z_point[:lo], z_point[lo:]
+        # u_in is only consumed by the sumcheck; pass a placeholder to the
+        # fused prep (its folds/claim depend on u_bs/u_out alone)
+        u_in_dummy = jnp.zeros((fr_ops.ceil_log2(layer.in_size), 8), jnp.uint32)
+        X_folded, W_folded, z_claim = _fc_prep_planar(
+            X, layer.weights, Z, u_bs, u_in_dummy, u_out, layer.in_size, layer.out_size
+        )
+        challenges.absorb_array(z_claim)
+        ip_polys, ip_finals, u_in = pp.inner_product_prove_interleaved(
+            X_folded, W_folded, challenges
+        )
+        u_w = jnp.concatenate([u_out, u_in], axis=0)
+        opening = pedersen.open_planar(layer.gens, layer.weights, layer.com, u_w)
+        return ZkFCProof(u_bs, u_in, u_out, ip_polys, ip_finals, z_claim, opening)
+
     if z_point is None:
         u_bs = challenges.random_vec(fr_ops.ceil_log2(batch))
         u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))

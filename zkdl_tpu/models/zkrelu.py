@@ -36,6 +36,7 @@ from ..sumcheck import protocols as sc
 from ..sumcheck.transcript import ChallengeSource
 from ..tensor import fr_ops
 from ..tensor import planar_ops as pops
+from ..utils import aot
 
 HF = host.fr
 
@@ -116,7 +117,7 @@ def _width_consts(q: int, r: int):
     return mp.limbs_from_int((1 << tb) - 1, 8), mp.limbs_from_int(1 << tb, 8)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(aot.jit, static_argnums=(1, 2))
 def _forward(X: jax.Array, q: int, r: int):
     """X: (n, 8) Montgomery Fr. Returns (Z, aux dict with sign/mag_bin/rem_bin).
 
@@ -148,7 +149,7 @@ def forward(X: jax.Array):
     return _forward(X, Q, R)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(aot.jit, static_argnums=(1, 2))
 def _forward_compact(X: jax.Array, q: int, r: int):
     """Forward pass returning COMPACT auxiliary witnesses (u32 per element
     instead of Montgomery bit tensors — 48x less HBM; the planar prover
@@ -191,7 +192,7 @@ class AuxCommitments:
     rem: "pedersen.RowCommitments"
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(aot.jit, static_argnums=(3, 4))
 def _expand_aux(sign_bits, mag, rem_bits16, q: int, r: int):
     """Compact aux -> standard-layout Montgomery tensors: sign (n, 8),
     mag_bin (n*q, 8) with bit k of element j at index j*q + k (matching
@@ -212,23 +213,37 @@ def _aux_gens(size: int) -> "pedersen.Generators":
     from ..commit import pedersen
 
     gen_size = 1 << ((fr_ops.ceil_log2(size) + 1) // 2)
-    return pedersen.aux_generators(gen_size)
+    return pedersen.nums_generators(gen_size)
+
+
+@functools.partial(aot.jit, static_argnums=(3, 4))
+def _expand_aux_bits(sign_bits, mag, rem_bits16, q: int, r: int):
+    """Compact aux -> u32 0/1 bit arrays in the standard layout (bit k of
+    element j at index j*q + k), for the masked-sum commitment path."""
+    shifts = jnp.arange(q, dtype=jnp.uint32)
+    mag_bits = ((mag[:, None] >> shifts) & jnp.uint32(1)).reshape(-1)
+    rshifts = jnp.arange(r, dtype=jnp.uint32)
+    rem_bits = ((rem_bits16[:, None] >> rshifts) & jnp.uint32(1)).reshape(-1)
+    return sign_bits, mag_bits, rem_bits
 
 
 def commit_aux(aux: dict) -> AuxCommitments:
     """Commit the compact auxiliary witnesses (forward_compact output). The
     commitments are absorbed into the transcript before this layer's
     challenges are drawn (prove_planar), so the prover is bound to ONE witness
-    tensor for both the binary sumchecks and the recombination folds — closing
-    the range-proof binding gap (docs/SOUNDNESS.md gap #1)."""
+    tensor for both the binary sumchecks and the recombination folds (closing
+    the range-proof binding gap, docs/SOUNDNESS.md gap #1). Generators are
+    NUMS (pedersen.nums_generators — dlogs unknown to everyone, so the
+    commitments are binding against the prover itself); all three tensors are
+    0/1-valued, so each commitment is a masked generator sum — no scalar-muls."""
     from ..commit import pedersen
 
     assert Q == (1 << LOG_Q) and R == (1 << LOG_R), "committed aux needs 2^k widths"
-    sign, mag_bin, rem_bin = _expand_aux(aux["sign_bits"], aux["mag"], aux["rem_bits16"], Q, R)
+    sign_b, mag_b, rem_b = _expand_aux_bits(aux["sign_bits"], aux["mag"], aux["rem_bits16"], Q, R)
     return AuxCommitments(
-        sign=pedersen.commit(_aux_gens(sign.shape[0]), sign),
-        mag=pedersen.commit(_aux_gens(mag_bin.shape[0]), mag_bin),
-        rem=pedersen.commit(_aux_gens(rem_bin.shape[0]), rem_bin),
+        sign=pedersen.commit_bits(_aux_gens(sign_b.shape[0]), sign_b),
+        mag=pedersen.commit_bits(_aux_gens(mag_b.shape[0]), mag_b),
+        rem=pedersen.commit_bits(_aux_gens(rem_b.shape[0]), rem_b),
     )
 
 
@@ -289,7 +304,7 @@ class ZkReluProof:
     open_sign_rec: object | None = None
 
 
-@jax.jit
+@aot.jit
 def _prove_core(X, sign, mag_bin, rem_bin, u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp):
     """All three sumchecks of the layer fused into ONE jit (statically halving
     shapes; zero per-round host round-trips)."""
@@ -334,12 +349,11 @@ def prove(X: jax.Array, aux: dict, challenges: ChallengeSource) -> ZkReluProof:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4, 7, 8))
-def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp, q, r):
-    """One fused prep dispatch: expand bit matrices into bit-reversed flat
-    layout for the binary sumchecks, bit-reverse X/sign for the Hadamard,
-    and compute the recombination claims + hp_claim as eq-weighted masked
-    sums (mul-free on the bit side)."""
+def _layout_body(X, aux_mag, aux_rem, aux_sign, log_size, q, r):
+    """Challenge-independent layout transforms: expand bit matrices into
+    bit-reversed flat layout for the binary sumchecks, bit-reverse X/sign for
+    the Hadamard, mont(mag) for the chained A-product. Returns the bit-rev
+    prover inputs plus the plain-order tensors the claims need."""
     n2 = 1 << log_size
     pad = n2 - aux_mag.shape[0]
     mag = jnp.pad(aux_mag, (0, pad))
@@ -360,33 +374,51 @@ def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp, q, r
     mag_rev = jnp.take(mag_bits, jnp.asarray(rev5), axis=0)[:, revn].reshape(-1)
     rem_rev = jnp.take(rem_bits, jnp.asarray(rev4), axis=0)[:, revn].reshape(-1)
 
-    # recombination claims (reference computes-and-discards, zkrelu.cu:92-94):
-    # row k's MLE at u_rec = eq-weighted masked sum over the element axis.
-    E_rec = pops.eq_table(u_rec)  # (8, n2) standard order
-    mag_at_u = planar.masked_sum(mag_bits == 1, E_rec[:, None, :])  # (8, 32)
-    rem_at_u = planar.masked_sum(rem_bits == 1, E_rec[:, None, :])  # (8, 16)
-
-    # Hadamard inputs (bit-reversed) + claim MLE of X (.) sign at u_hp
     X_rev = Xp[:, revn]
     sign_rev = sign[revn]
-    E_hp = pops.eq_table(u_hp)
-    hp_claim = planar.dot(planar.select(sign == 1, Xp, jnp.zeros_like(Xp)), E_hp)
-
-    # chained-mode extras (cheap; unused in unchained mode): mont(mag) in
-    # bit-reversed planar form for the A = sign (.) mag product sumcheck, and
-    # X's MLE at u_rec (one more dot against the already-built eq table).
     mag_limbs = jnp.concatenate([mag[None, :], jnp.zeros((7, n2), jnp.uint32)], axis=0)
     mag_mont_rev = planar.to_mont(mag_limbs)[:, revn]
-    x_at_u = planar.dot(Xp, E_rec)
+    return mag_rev, rem_rev, X_rev, sign_rev, mag_mont_rev, mag_bits, rem_bits, Xp, sign
 
+
+def _claims_body(mag_bits, rem_bits, Xp, sign, u_rec, u_hp):
+    """Challenge-dependent claims: recombination folds at u_rec (the reference
+    computes-and-discards these, zkrelu.cu:92-94), the Hadamard claim MLE of
+    X (.) sign at u_hp, and X's MLE at u_rec (chained mode)."""
+    E_rec = pops.eq_table(u_rec)  # (8, n2) standard order
+    mag_at_u = planar.masked_sum(mag_bits == 1, E_rec[:, None, :])  # (8, q)
+    rem_at_u = planar.masked_sum(rem_bits == 1, E_rec[:, None, :])  # (8, r)
+    E_hp = pops.eq_table(u_hp)
+    hp_claim = planar.dot(planar.select(sign == 1, Xp, jnp.zeros_like(Xp)), E_hp)
+    x_at_u = planar.dot(Xp, E_rec)
+    return jnp.swapaxes(mag_at_u, 0, 1), jnp.swapaxes(rem_at_u, 0, 1), hp_claim, x_at_u
+
+
+@functools.partial(aot.jit, static_argnums=(4, 7, 8))
+def _relu_prep_planar(X, aux_mag, aux_rem, aux_sign, log_size, u_rec, u_hp, q, r):
+    """One fused prep dispatch: layout transforms + eq-weighted claims
+    (grouped-draw mode, where u_rec/u_hp are known up front)."""
+    (mag_rev, rem_rev, X_rev, sign_rev, mag_mont_rev,
+     mag_bits, rem_bits, Xp, sign) = _layout_body(X, aux_mag, aux_rem, aux_sign, log_size, q, r)
+    mag_at_u, rem_at_u, hp_claim, x_at_u = _claims_body(mag_bits, rem_bits, Xp, sign, u_rec, u_hp)
     return (mag_rev, rem_rev, X_rev, sign_rev,
-            jnp.swapaxes(mag_at_u, 0, 1), jnp.swapaxes(rem_at_u, 0, 1), hp_claim,
-            mag_mont_rev, x_at_u)
+            mag_at_u, rem_at_u, hp_claim, mag_mont_rev, x_at_u)
+
+
+@functools.partial(aot.jit, static_argnums=(4, 5, 6))
+def _relu_layout_planar(X, aux_mag, aux_rem, aux_sign, log_size, q, r):
+    """Layout transforms only (interleaved mode: claims points not yet drawn)."""
+    return _layout_body(X, aux_mag, aux_rem, aux_sign, log_size, q, r)
+
+
+@aot.jit
+def _relu_claims_planar(mag_bits, rem_bits, Xp, sign, u_rec, u_hp):
+    return _claims_body(mag_bits, rem_bits, Xp, sign, u_rec, u_hp)
 
 
 def prove_planar(
     X: jax.Array, aux: dict, challenges: ChallengeSource, chain_point: jax.Array | None = None,
-    aux_com: AuxCommitments | None = None,
+    aux_com: AuxCommitments | None = None, interleave: bool = False,
 ) -> ZkReluProof:
     """Planar/pallas prover on compact aux (forward_compact). Challenge draw
     order and emitted proof stream match prove() bit-for-bit when
@@ -400,7 +432,15 @@ def prove_planar(
     the bit-recombination identity and the upstream FC's z-claim (X(v_a),
     emitted here) are all checked at one shared point. Draw order in chained
     mode: u_z, v_z, u_r, v_r, v_a, u_hp, v_hp.
+
+    interleave=True switches to the round-interleaved Fiat-Shamir schedule
+    (textbook sumcheck FS: each round polynomial is absorbed before the next
+    fold challenge is drawn) — see _prove_planar_interleaved for the exact
+    draw/absorb order. One host round-trip per sumcheck round; stream differs
+    from the grouped mode by construction.
     """
+    if interleave:
+        return _prove_planar_interleaved(X, aux, challenges, chain_point, aux_com)
     n = X.shape[0]
     log_size = fr_ops.ceil_log2(n)
     if aux_com is not None:
@@ -449,21 +489,116 @@ def prove_planar(
         g_s, g_m, g_r = _aux_gens(n), _aux_gens(n * Q), _aux_gens(n * R)
         proof.aux_coms = aux_com
         proof.w_q, proof.w_r = w_q, w_r
-        proof.open_mag_bin = pedersen.open_planar(g_m, mag_bin, aux_com.mag, v_z)
-        proof.open_mag_rec = pedersen.open_planar(
+        proof.open_mag_bin = pedersen.open_reveal(g_m, mag_bin, aux_com.mag, v_z)
+        proof.open_mag_rec = pedersen.open_reveal(
             g_m, mag_bin, aux_com.mag, jnp.concatenate([w_q, u_rec], axis=0)
         )
-        proof.open_rem_bin = pedersen.open_planar(g_r, rem_bin, aux_com.rem, v_r)
-        proof.open_rem_rec = pedersen.open_planar(
+        proof.open_rem_bin = pedersen.open_reveal(g_r, rem_bin, aux_com.rem, v_r)
+        proof.open_rem_rec = pedersen.open_reveal(
             g_r, rem_bin, aux_com.rem, jnp.concatenate([w_r, u_rec], axis=0)
         )
-        proof.open_sign_hp = pedersen.open_planar(g_s, sign_m, aux_com.sign, v_hp)
-        proof.open_sign_rec = pedersen.open_planar(g_s, sign_m, aux_com.sign, u_rec)
+        proof.open_sign_hp = pedersen.open_reveal(g_s, sign_m, aux_com.sign, v_hp)
+        proof.open_sign_rec = pedersen.open_reveal(g_s, sign_m, aux_com.sign, u_rec)
     challenges.absorb_array(mag_polys)
     challenges.absorb_array(rem_polys)
     challenges.absorb_array(hp_polys)
     if a_polys is not None:
         challenges.absorb_array(a_polys)
+    return proof
+
+
+def _prove_planar_interleaved(
+    X: jax.Array, aux: dict, challenges: ChallengeSource,
+    chain_point: jax.Array | None, aux_com: AuxCommitments | None,
+) -> ZkReluProof:
+    """Round-interleaved FS schedule for the planar ReLU prover:
+
+      [absorb aux commitments]                      (committed tier)
+      u_z   <- draw        ; mag binary sumcheck    (absorb poly_i, draw v_z[i])
+      u_r   <- draw        ; rem binary sumcheck    (absorb poly_i, draw v_r[i])
+      chained:   A-product sumcheck at chain_point  (absorb poly_i, draw v_a[i])
+                 u_rec := v_a
+      unchained: u_rec <- draw
+      u_hp  <- draw
+      absorb(mag_bits_at_u, rem_bits_at_u, hp_claim, x_at_u)  (claims at u_rec/u_hp)
+      hp sumcheck of X (.) sign at u_hp             (absorb poly_i, draw v_hp[i])
+      [w_q, w_r <- draw]                            (committed tier)
+
+    Every fold challenge is derived AFTER the corresponding round polynomial
+    was absorbed — the grinding surface of the grouped schedule (documented in
+    docs/SOUNDNESS.md) does not exist here. Stream necessarily differs from
+    the grouped mode; the verifier replays with MLP.verify(interleaved=True).
+    """
+    n = X.shape[0]
+    log_size = fr_ops.ceil_log2(n)
+    if aux_com is not None:
+        assert chain_point is not None, "committed aux requires chained mode"
+        _absorb_aux_coms(challenges, aux_com)
+
+    (mag_rev, rem_rev, X_rev, sign_rev, mag_mont_rev,
+     mag_bits, rem_bits, Xp, sign_pad) = _relu_layout_planar(
+        X, aux["mag"], aux["rem_bits16"], aux["sign_bits"], log_size, Q, R
+    )
+
+    u_z = challenges.random_vec(log_size + LOG_Q)
+    mag_polys, mag_final, v_z = pp.binary_prove_bits_interleaved(mag_rev, u_z, challenges)
+    u_r = challenges.random_vec(log_size + LOG_R)
+    rem_polys, rem_final, v_r = pp.binary_prove_bits_interleaved(rem_rev, u_r, challenges)
+
+    a_polys = a_finals = x_at_va = a_point = None
+    if chain_point is not None:
+        assert chain_point.shape[0] == log_size, (chain_point.shape, log_size)
+        assert n == (1 << log_size), "chained mode requires power-of-two size"
+        a_point = chain_point
+        a_polys, a_finals, u_rec = pp.hadamard_prove_bits_interleaved(
+            mag_mont_rev, sign_rev, chain_point, challenges
+        )
+    else:
+        u_rec = challenges.random_vec(log_size)
+    u_hp = challenges.random_vec(log_size)
+
+    mag_at_u, rem_at_u, hp_claim, x_at_u = _relu_claims_planar(
+        mag_bits, rem_bits, Xp, sign_pad, u_rec, u_hp
+    )
+    challenges.absorb_array(mag_at_u)
+    challenges.absorb_array(rem_at_u)
+    challenges.absorb_array(hp_claim)
+    challenges.absorb_array(x_at_u)
+    # stored unconditionally in interleaved mode (the replay verifier
+    # re-absorbs it from the proof); chain checks only read it when chained
+    x_at_va = x_at_u
+
+    hp_polys, hp_finals, v_hp = pp.hadamard_prove_bits_interleaved(
+        X_rev, sign_rev, u_hp, challenges
+    )
+    w_q = challenges.random_vec(LOG_Q) if aux_com is not None else None
+    w_r = challenges.random_vec(LOG_R) if aux_com is not None else None
+
+    proof = ZkReluProof(
+        u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp,
+        mag_polys, mag_final, rem_polys, rem_final, hp_polys, hp_finals,
+        mag_at_u, rem_at_u, hp_claim,
+        a_point, a_polys, a_finals, x_at_va,
+    )
+    if aux_com is not None:
+        from ..commit import pedersen
+
+        sign_m, mag_bin, rem_bin = _expand_aux(
+            aux["sign_bits"], aux["mag"], aux["rem_bits16"], Q, R
+        )
+        g_s, g_m, g_r = _aux_gens(n), _aux_gens(n * Q), _aux_gens(n * R)
+        proof.aux_coms = aux_com
+        proof.w_q, proof.w_r = w_q, w_r
+        proof.open_mag_bin = pedersen.open_reveal(g_m, mag_bin, aux_com.mag, v_z)
+        proof.open_mag_rec = pedersen.open_reveal(
+            g_m, mag_bin, aux_com.mag, jnp.concatenate([w_q, u_rec], axis=0)
+        )
+        proof.open_rem_bin = pedersen.open_reveal(g_r, rem_bin, aux_com.rem, v_r)
+        proof.open_rem_rec = pedersen.open_reveal(
+            g_r, rem_bin, aux_com.rem, jnp.concatenate([w_r, u_rec], axis=0)
+        )
+        proof.open_sign_hp = pedersen.open_reveal(g_s, sign_m, aux_com.sign, v_hp)
+        proof.open_sign_rec = pedersen.open_reveal(g_s, sign_m, aux_com.sign, u_rec)
     return proof
 
 
@@ -535,7 +670,12 @@ def verify_committed(proof: ZkReluProof) -> tuple[bool, str]:
     w||u_rec), the Hadamard sign final (sign at v_hp), and the A-product sign
     final (sign at u_rec = v_a). With these, the bit tensor range-checked by
     the binary sumcheck and the one recombined into X at v_a are provably the
-    SAME committed tensor (closes docs/SOUNDNESS.md gap #1)."""
+    SAME committed tensor (closes docs/SOUNDNESS.md gap #1).
+
+    Openings are Hyrax-style revealed folds over NUMS generators
+    (pedersen.verify_reveal): the verifier regenerates the generator vector
+    and recomputes the MSM + row-commitment MLE itself, so nothing in the
+    opening is attacker-steerable; binding holds under the DL assumption."""
     from ..commit import pedersen
 
     if proof.aux_coms is None:
@@ -544,10 +684,10 @@ def verify_committed(proof: ZkReluProof) -> tuple[bool, str]:
         return False, "committed aux requires a chained proof"
 
     def check(opening, com, point_ints, expected, what):
-        ok, msg = pedersen.verify_open(opening, point_ints, expected_value=expected)
-        if not ok:
-            return f"{what}: {msg}"
-        ok, msg = pedersen.verify_open_against_com(opening, com, point_ints)
+        gens = pedersen.nums_generators(1 << ((len(point_ints) + 1) // 2))
+        ok, msg = pedersen.verify_reveal(
+            opening, gens, com, point_ints, expected_value=expected
+        )
         if not ok:
             return f"{what}: {msg}"
         return None

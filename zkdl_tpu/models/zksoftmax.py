@@ -688,10 +688,122 @@ def _check_bound(proof: ZkSoftmaxProof, ck: "wcommit.Checker",
         raise wcommit.BindingError("slack@u_row claim unbound")
 
 
+def witness_names(rows: int, cols: int, prefix: str = "sm.",
+                  s_name: str | None = None) -> list[str]:
+    """Canonical commitment-insertion order of commit_witness — the verifier
+    re-absorbs commitments in exactly this order during transcript replay."""
+    names = [] if s_name else [f"{prefix}S"]
+    names += [f"{prefix}h", f"{prefix}hs", f"{prefix}smax",
+              f"{prefix}e", f"{prefix}E", f"{prefix}P"]
+    names += [f"{prefix}{nm}" for nm in _range_widths(cols)]
+    return names
+
+
+def absorb_witness_coms(transcript: "ChallengeSource", ws: "wcommit.WitnessSet",
+                        names: list[str]) -> str | None:
+    """Absorb the witness commitments in canonical order (mirrors
+    Committer.absorb); a missing commitment is a clean rejection."""
+    for nm in names:
+        com = ws.coms.get(nm)
+        if com is None:
+            return f"missing witness commitment {nm}"
+        pts = com.points
+        transcript.absorb_array(pts.x)
+        transcript.absorb_array(pts.y)
+        transcript.absorb_array(pts.z)
+    return None
+
+
+def replay_transcript(proof: ZkSoftmaxProof, transcript: "ChallengeSource") -> str | None:
+    """Re-derive every softmax challenge from `transcript` (which must already
+    hold the witness-commitment absorbs) and compare with the proof — without
+    this, every evaluation point is taken from the (attacker-supplied) proof
+    on trust and a malicious prover can pick all points adaptively. Mirrors
+    prove()'s draw/absorb schedule exactly; openings never touch the
+    transcript. Returns an error string or None."""
+
+    def draw_eq(tag, stored):
+        arr = np.asarray(stored).reshape(-1, 8)
+        got = np.asarray(transcript.random_vec(arr.shape[0]))
+        return None if np.array_equal(got, arr) else f"{tag} not transcript-derived"
+
+    def point_eq(tag, stored, expect):
+        return (None if np.array_equal(np.asarray(stored), np.asarray(expect))
+                else f"{tag} anchor-point mismatch")
+
+    def rp(tag, rpf, expect_urec):
+        # range_prove(vals, width, u_rec, ch): u_rec is DRAWN by the caller for
+        # h (the very first draw) and reused otherwise
+        e = (draw_eq(f"{tag}.u_rec", rpf.u_rec) if expect_urec is None
+             else point_eq(f"{tag}.u_rec", rpf.u_rec, expect_urec))
+        e = e or draw_eq(f"{tag}.u", rpf.u) or draw_eq(f"{tag}.v", rpf.v)
+        if e:
+            return e
+        transcript.absorb_array(rpf.polys)
+        transcript.absorb_array(rpf.bits_at_u)
+        return None
+
+    def rowsum(tag, rs):
+        e = draw_eq(f"{tag}.u_row", rs.u_row) or draw_eq(f"{tag}.u_col", rs.u_col)
+        if e:
+            return e
+        transcript.absorb_array(rs.polys)
+        transcript.absorb_array(rs.claim)
+        return None
+
+    err = rp("h", proof.h_range, None) or rowsum("h_rowsum", proof.h_rowsum) \
+        or draw_eq("u_rec", proof.u_rec) \
+        or rp("dfull_bits", proof.dfull_range, proof.u_rec) \
+        or rp("rem8_bits", proof.rem8_range, proof.u_rec) \
+        or draw_eq("hs_u", proof.hs_u) or draw_eq("hs_v", proof.hs_v)
+    if err:
+        return err
+    transcript.absorb_array(proof.hs_polys)
+    err = rowsum("smax_rowsum", proof.smax_rowsum) \
+        or rp("d_bits", proof.d_range, proof.u_rec) \
+        or rp("dgap_bits", proof.dgap_range, proof.u_rec) \
+        or draw_eq("clip.u", proof.clip_zero.u) or draw_eq("clip.v", proof.clip_zero.v)
+    if err:
+        return err
+    transcript.absorb_array(proof.clip_zero.polys)
+    lk = proof.lk
+    transcript.absorb_array(lk.m)
+    err = draw_eq("lk.z", lk.z) \
+        or draw_eq("lk.u_w_ip", lk.u_w_ip) or draw_eq("lk.u_v_ip", lk.u_v_ip) \
+        or draw_eq("lk.u_w", lk.u_w) or draw_eq("lk.v_w", lk.v_w) \
+        or draw_eq("lk.u_t", lk.u_t) or draw_eq("lk.v_t", lk.v_t)
+    if err:
+        return err
+    for arr in (lk.sum_w, lk.sum_v, lk.w_ip_polys, lk.v_ip_polys,
+                lk.w_hp_polys, lk.t_hp_polys):
+        transcript.absorb_array(arr)
+    err = rowsum("e_rowsum", proof.e_rowsum) \
+        or draw_eq("div_u", proof.div_zero_u) or draw_eq("div_v", proof.div_zero_v)
+    if err:
+        return err
+    transcript.absorb_array(proof.div_polys)
+    return rp("r_bits", proof.r_range, proof.div_zero_u) \
+        or rp("er_bits", proof.er_range, proof.div_zero_u) \
+        or rowsum("p_rowsum", proof.p_rowsum) \
+        or rp("slack_bits", proof.slack_range, proof.p_rowsum.u_row)
+
+
 def verify(proof: ZkSoftmaxProof,
            checker: "wcommit.Checker | None" = None,
-           prefix: str = "sm.", s_name: str | None = None) -> tuple[bool, str]:
+           prefix: str = "sm.", s_name: str | None = None,
+           transcript: "ChallengeSource | None" = None) -> tuple[bool, str]:
     rows, cols = proof.rows, proof.cols
+    if transcript is not None:
+        # full Fiat-Shamir replay: absorb the witness commitments (canonical
+        # order) and re-derive every challenge; without this the evaluation
+        # points come from the proof on trust (tamper-evidence only).
+        if proof.witness is None:
+            return False, "transcript replay requires a committed-witness proof"
+        err = absorb_witness_coms(
+            transcript, proof.witness, witness_names(rows, cols, prefix, s_name)
+        ) or replay_transcript(proof, transcript)
+        if err:
+            return False, f"transcript: {err}"
     checks: list[tuple[str, tuple[bool, str]]] = []
     checks.append(("h binary", proof.h_range.verify()))
     checks.append(("h rowsum", proof.h_rowsum.verify()))

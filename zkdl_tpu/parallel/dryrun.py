@@ -131,10 +131,33 @@ def run(n_devices: int) -> None:
             )
         ok, msg = model.verify(proof_sh)
         assert ok, f"sharded model proof failed verification: {msg}"
+
+        # CHAINED + COMMITTED-AUX tier, distributed (the default soundness
+        # tier): sharded prover stream-identical to the single-device planar
+        # chained prover, including the NUMS aux commitments and revealed-fold
+        # openings, then verified with full transcript replay.
+        mlp_mod.USE_PLANAR_PROVER = True
+        ref_c = model.prove(Xm, Yp, Zp, Ap, auxp, SeededRng(9), chain=True, commit_aux=True)
+        mlp_mod.USE_PLANAR_PROVER = False
+        sh_c = pmodel.prove_sharded(
+            model, Xm, Y, Zl, Al, auxl, dp_mesh, SeededRng(9), chain=True, commit_aux=True
+        )
+        refc_arrays: dict = {}
+        shc_arrays: dict = {}
+        proof_io._flatten(ref_c, "p", refc_arrays, None)
+        proof_io._flatten(sh_c, "p", shc_arrays, None)
+        assert sorted(refc_arrays) == sorted(shc_arrays)
+        for k in refc_arrays:
+            assert np.array_equal(np.asarray(refc_arrays[k]), np.asarray(shc_arrays[k])), (
+                f"sharded chained+committed proof stream differs at {k}"
+            )
+        ok, msg = model.verify(sh_c, X=Xm, Y_hat=Y, transcript=SeededRng(9))
+        assert ok, f"sharded chained+committed proof failed verification: {msg}"
     finally:
         mlp_mod.USE_PLANAR_PROVER = prev
 
     print(
         f"dryrun_multichip OK: mesh={dict(mesh.shape)} batch={batch} n={n}; "
-        f"full 2-layer sharded model prove+verify on dp={n_devices} stream-identical"
+        f"full 2-layer sharded model prove+verify on dp={n_devices} stream-identical "
+        f"(unchained AND chained+committed-aux tiers)"
     )

@@ -326,13 +326,155 @@ def _relu_prove_sharded(mesh, X, aux, challenges):
     return proof
 
 
+def _bits_u32(t: jax.Array) -> jax.Array:
+    """Montgomery 0/1-valued tensor -> u32 bit array (1 - is_zero)."""
+    from ..field import mp
+
+    return (~mp.is_zero(t)).astype(jnp.uint32)
+
+
+def commit_aux_sharded(mesh: Mesh, aux: dict, axis: str = "dp"):
+    """Row-sharded NUMS aux commitments: each tensor's bit rows are
+    distributed over the mesh axis; the per-row masked generator sums
+    (pedersen._commit_bits_rows) are row-local, so XLA partitions them with
+    zero collectives and the resulting points are bit-identical to the
+    single-device commit_aux (same reduction tree). Falls back to a
+    replicated layout when the row count doesn't divide the mesh."""
+    from ..commit import pedersen
+    from ..models import zkrelu
+
+    n_dev = mesh.shape[axis]
+
+    def commit_one(t):
+        bits = _bits_u32(t)
+        gens = zkrelu._aux_gens(bits.shape[0])
+        m = bits.shape[0] // gens.size
+        bits2 = bits.reshape(m, gens.size)
+        if m % n_dev == 0:
+            bits2 = jax.device_put(bits2, NamedSharding(mesh, P(axis, None)))
+        points = pedersen._commit_bits_rows(bits2, gens.points)
+        if m % n_dev == 0:  # replicate for the host-side transcript absorb
+            points = jax.device_put(points, NamedSharding(mesh, P()))
+        return pedersen.RowCommitments(points=points)
+
+    return zkrelu.AuxCommitments(
+        sign=commit_one(aux["sign"]),
+        mag=commit_one(aux["mag_bin"]),
+        rem=commit_one(aux["rem_bin"]),
+    )
+
+
+def _relu_prove_sharded_chained(mesh, X, aux, challenges, chain_point,
+                                aux_com=None):
+    """Sharded chained (and optionally committed-aux) zkReLU prover:
+    stream-identical to zkrelu.prove_planar(chain_point=..., aux_com=...) —
+    same draw schedule (u_z, v_z, u_r, v_r, u_rec=v_a, u_hp, v_hp [, w_q,
+    w_r]), same absorbs (mag, rem, hp, a polys), with every sumcheck, fold,
+    and MLE dp-sharded. The A = sign (.) mont(mag) product sumcheck runs as a
+    sharded Hadamard anchored at the downstream FC's point; mont(mag) is the
+    recombination of the sharded bit tensor (zkrescale._recombine_tensor)."""
+    from ..commit import pedersen
+    from ..models import zkrescale
+
+    n = X.shape[0]
+    log_size = fr_ops.ceil_log2(n)
+    Q, R = zkrelu.Q, zkrelu.R
+    if aux_com is not None:
+        zkrelu._absorb_aux_coms(challenges, aux_com)
+    u_z = challenges.random_vec(log_size + zkrelu.LOG_Q)
+    v_z = challenges.random_vec(log_size + zkrelu.LOG_Q)
+    u_r = challenges.random_vec(log_size + zkrelu.LOG_R)
+    v_r = challenges.random_vec(log_size + zkrelu.LOG_R)
+    u_rec = challenges.random_vec(log_size)  # == v_a (fold vector of the A-product)
+    u_hp = challenges.random_vec(log_size)
+    v_hp = challenges.random_vec(log_size)
+    w_q = challenges.random_vec(zkrelu.LOG_Q) if aux_com is not None else None
+    w_r = challenges.random_vec(zkrelu.LOG_R) if aux_com is not None else None
+
+    mag_bin = _shard(mesh, aux["mag_bin"])
+    rem_bin = _shard(mesh, aux["rem_bin"])
+    sign = _shard(mesh, aux["sign"])
+
+    mag_polys, mag_final = sharded_binary_prove(mesh, mag_bin, u_z, v_z)
+    mag_at_u = sharded_partial_me(mesh, mag_bin, u_rec, Q)
+    rem_polys, rem_final = sharded_binary_prove(mesh, rem_bin, u_r, v_r)
+    rem_at_u = sharded_partial_me(mesh, rem_bin, u_rec, R)
+    hp_polys, hp_finals = sharded_hadamard_prove(mesh, X, sign, u_hp, v_hp)
+    hp_claim = sharded_me_eval(mesh, jax.jit(fr.mul)(X, sign), u_hp)
+
+    mag_mont = _shard(mesh, zkrescale._recombine_tensor(aux["mag_bin"], Q))
+    a_polys, a_finals = sharded_hadamard_prove(mesh, mag_mont, sign, chain_point, u_rec)
+    x_at_va = sharded_me_eval(mesh, X, u_rec)
+
+    proof = zkrelu.ZkReluProof(
+        u_z, v_z, u_r, v_r, u_rec, u_hp, v_hp,
+        mag_polys, mag_final, rem_polys, rem_final, hp_polys, hp_finals,
+        mag_at_u, rem_at_u, hp_claim,
+        chain_point, a_polys, a_finals, x_at_va,
+    )
+    if aux_com is not None:
+        proof.aux_coms = aux_com
+        proof.w_q, proof.w_r = w_q, w_r
+        gsz = lambda size: zkrelu._aux_gens(size).size  # noqa: E731
+
+        def fold_open(t, point):
+            gen_size = gsz(t.shape[0])
+            log_m = point.shape[0] - fr_ops.ceil_log2(gen_size)
+            u_row = point[point.shape[0] - log_m:]
+            folded = sharded_partial_me(mesh, t, u_row, gen_size) if log_m else t
+            return pedersen.FoldOpening(t_folded=folded)
+
+        proof.open_mag_bin = fold_open(mag_bin, v_z)
+        proof.open_mag_rec = fold_open(mag_bin, jnp.concatenate([w_q, u_rec], axis=0))
+        proof.open_rem_bin = fold_open(rem_bin, v_r)
+        proof.open_rem_rec = fold_open(rem_bin, jnp.concatenate([w_r, u_rec], axis=0))
+        proof.open_sign_hp = fold_open(sign, v_hp)
+        proof.open_sign_rec = fold_open(sign, u_rec)
+    challenges.absorb_array(mag_polys)
+    challenges.absorb_array(rem_polys)
+    challenges.absorb_array(hp_polys)
+    challenges.absorb_array(a_polys)
+    return proof
+
+
+def _fc_prove_sharded_chained(mesh, layer, X, Z, challenges, z_point):
+    """Sharded chained zkFC prover: (u_out || u_bs) fixed to the adjacent
+    ReLU's point, only u_in drawn (stream-identical to
+    zkfc.prove_planar(z_point=...))."""
+    from ..commit import pedersen
+
+    batch = X.shape[0] // layer.in_size
+    lo = fr_ops.ceil_log2(layer.out_size)
+    assert z_point.shape[0] == lo + fr_ops.ceil_log2(batch)
+    u_out, u_bs = z_point[:lo], z_point[lo:]
+    u_in = challenges.random_vec(fr_ops.ceil_log2(layer.in_size))
+
+    X_f = sharded_partial_me(mesh, X, u_bs, layer.in_size) if u_bs.shape[0] else X
+    W_f = jax.jit(fr_ops.partial_me, static_argnums=(2,))(layer.weights, u_out, 1)
+    ip_polys, ip_finals = sc.inner_product_prove_jit(X_f, W_f, u_in)
+    z_claim = sharded_me_eval(mesh, Z, jnp.concatenate([u_out, u_bs], axis=0))
+    opening = pedersen.open(layer.gens, layer.weights, layer.com,
+                            jnp.concatenate([u_out, u_in], axis=0))
+    proof = zkfc.ZkFCProof(u_bs, u_in, u_out, ip_polys, ip_finals, z_claim, opening)
+    challenges.absorb_array(ip_polys)
+    challenges.absorb_array(z_claim)
+    return proof
+
+
 def prove_sharded(model, X, Y_hat, Z_list, A_list, aux_list, mesh: Mesh,
-                  challenges: ChallengeSource | None = None):
-    """Distributed mlp.MLP.prove (unchained stream): every layer sumcheck runs
-    dp-sharded over `mesh`; the emitted MLPProof is bit-identical to
-    model.prove(..., chain=False) with the (n, 8) prover."""
+                  challenges: ChallengeSource | None = None,
+                  chain: bool = False, commit_aux: bool = False):
+    """Distributed mlp.MLP.prove: every layer sumcheck runs dp-sharded over
+    `mesh`. chain=False emits the unchained stream (bit-identical to
+    model.prove(..., chain=False) with the (n, 8) prover); chain=True emits
+    the GKR-style chained stream (bit-identical to the planar chained prover:
+    shared evaluation points ride the transcript as replicated host scalars —
+    no new collectives), and commit_aux=True adds the committed-aux tier with
+    row-sharded NUMS commitments + dp-sharded revealed-fold openings."""
     from ..models import mlp as mlp_mod
 
+    if commit_aux and not chain:
+        raise ValueError("committed aux requires chained mode")
     if challenges is None:
         challenges = FiatShamir()
     mlp_mod.absorb_statement(challenges, model.layers, X, Y_hat)
@@ -347,7 +489,18 @@ def prove_sharded(model, X, Y_hat, Z_list, A_list, aux_list, mesh: Mesh,
         mesh, model.layers[n_layers - 1], A_sh[n_layers - 2] if n_layers >= 2 else X_sh, Y_sh, challenges
     )
     for i in range(n_layers - 2, -1, -1):
-        relu_proofs[i] = _relu_prove_sharded(mesh, Z_sh[i], aux_list[i], challenges)
         A_prev = A_sh[i - 1] if i > 0 else X_sh
-        fc_proofs[i] = _fc_prove_sharded(mesh, model.layers[i], A_prev, Z_sh[i], challenges)
+        if chain:
+            w = jnp.concatenate([fc_proofs[i + 1].u_in, fc_proofs[i + 1].u_bs], axis=0)
+            aux_com = commit_aux_sharded(mesh, aux_list[i]) if commit_aux else None
+            relu_proofs[i] = _relu_prove_sharded_chained(
+                mesh, Z_sh[i], aux_list[i], challenges, w, aux_com=aux_com
+            )
+            fc_proofs[i] = _fc_prove_sharded_chained(
+                mesh, model.layers[i], A_prev, Z_sh[i], challenges,
+                z_point=relu_proofs[i].u_recover,
+            )
+        else:
+            relu_proofs[i] = _relu_prove_sharded(mesh, Z_sh[i], aux_list[i], challenges)
+            fc_proofs[i] = _fc_prove_sharded(mesh, model.layers[i], A_prev, Z_sh[i], challenges)
     return mlp_mod.MLPProof(fc_proofs, relu_proofs)

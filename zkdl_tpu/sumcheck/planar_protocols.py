@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import fr, host, pallas_fr as pf, planar
+from ..utils import aot
 from ..tensor import planar_ops as pops
 from . import protocols as sc
 
@@ -75,7 +76,7 @@ def _fuse_n() -> int:
     return FUSE_N if jax.default_backend() == "tpu" else int(_os.environ.get("ZKDL_PLANAR_FUSE_N_CPU", "0"))
 
 
-@jax.jit
+@aot.jit
 def _ip_tail_planar(a_rev, b_rev, u_rem):
     polys = []
     for i in range(u_rem.shape[0]):
@@ -84,7 +85,7 @@ def _ip_tail_planar(a_rev, b_rev, u_rem):
     return jnp.stack(polys), jnp.stack([a_rev[:, 0], b_rev[:, 0]])
 
 
-@jax.jit
+@aot.jit
 def _bin_tail_planar(a_rev, table, scales_rem, v_rem):
     polys = []
     for k in range(v_rem.shape[0]):
@@ -94,7 +95,7 @@ def _bin_tail_planar(a_rev, table, scales_rem, v_rem):
     return jnp.stack(polys), a_rev[:, 0]
 
 
-@jax.jit
+@aot.jit
 def _hp_tail_planar(a_rev, b_rev, table, scales_rem, v_rem):
     polys = []
     for k in range(v_rem.shape[0]):
@@ -152,7 +153,7 @@ def host_scales(u) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@aot.jit
 def _ip_round(a, b, x):
     """a, b: (8, n) bit-rev planar. Emits summed (c0, c1, c2) and folded halves."""
     h = a.shape[1] // 2
@@ -169,7 +170,7 @@ def _ip_round(a, b, x):
     return jnp.stack([c0, c1, c2]), a_n, b_n
 
 
-@jax.jit
+@aot.jit
 def _bin_round(a, w, scale, x):
     """General binary round: a (8, n); w = eq-table prefix (8, n/2); scale (8,)
     corrects the table's accumulated (1-u_j) factors; x = fold challenge."""
@@ -188,7 +189,7 @@ def _bin_round(a, w, scale, x):
     return jnp.swapaxes(polys, 0, 1), a_n  # (3, 8)
 
 
-@jax.jit
+@aot.jit
 def _bin_round0_bits(bits, w, x):
     """Mul-free binary round 0 on packed bits.
 
@@ -215,7 +216,7 @@ def _fold_bits(b0, b1, neq, x, h):
     return planar.select(neq, hi_val, eqv)
 
 
-@jax.jit
+@aot.jit
 def _hp_round(a, b, w, scale, x):
     """General hadamard round: a, b (8, n); w (8, n/2); fold challenge x."""
     h = a.shape[1] // 2
@@ -235,7 +236,7 @@ def _hp_round(a, b, w, scale, x):
     return jnp.swapaxes(polys, 0, 1), a_n, b_n
 
 
-@jax.jit
+@aot.jit
 def _hp_round0_bits(a, bits, w, x):
     """Hadamard round 0 with a bit-valued b operand (e.g. the ReLU sign tensor):
     all Montgomery muls against b collapse to selects; only the three lazy dots
@@ -265,7 +266,187 @@ def _bcast(s, n):
     return jnp.broadcast_to(s[:, None], (8, n))
 
 
-@jax.jit
+# ---------------------------------------------------------------------------
+# split poly/fold kernels for the round-interleaved Fiat-Shamir mode
+# ---------------------------------------------------------------------------
+#
+# Textbook sumcheck FS absorbs round i's polynomial BEFORE drawing fold
+# challenge i+1; the batched provers above draw every challenge up front (the
+# reference is worse still — host RNG, /root/reference/proof.cu:3-11). The
+# interleaved mode pays one host round-trip per round (absorb the 3x8 poly,
+# draw the next challenge) and therefore needs the round kernels split into a
+# poly part and a fold part.
+
+
+@aot.jit
+def _ip_round_poly(a, b):
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = b[:, :h], b[:, h:]
+    da = planar.sub(a1, a0)
+    db = planar.sub(b1, b0)
+    dots = pf.dot_many([(a0, b0), (a0, db), (b0, da), (da, db)])
+    return jnp.stack([dots[:, 0], planar.add(dots[:, 1], dots[:, 2]), dots[:, 3]])
+
+
+@aot.jit
+def _fold_half(a, x):
+    """Planar fold: a (8, n) -> (8, n/2) at challenge x (8,)."""
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    return planar.add(a0, pf.mul_scalar(planar.sub(a1, a0), x))
+
+
+@aot.jit
+def _bin_round_poly(a, w, scale):
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    d = planar.sub(a1, a0)
+    aw = pf.mul(a0, w)
+    dw = pf.mul(d, w)
+    dots = pf.dot_many([(a0, aw), (d, aw), (d, dw)])
+    c0 = planar.sub(dots[:, 0], planar.lazy_sum(aw))
+    c1 = planar.sub(planar.double(dots[:, 1]), planar.lazy_sum(dw))
+    c2 = dots[:, 2]
+    polys = pf.mul_scalar(jnp.stack([c0, c1, c2], axis=1), scale)
+    return jnp.swapaxes(polys, 0, 1)
+
+
+@aot.jit
+def _bin_round0_poly(bits, w):
+    h = bits.shape[0] // 2
+    neq = (bits[:h] != 0) != (bits[h:] != 0)
+    c2 = planar.masked_sum(neq, w)
+    return jnp.stack([jnp.zeros_like(c2), planar.neg(c2[:, None])[:, 0], c2])
+
+
+@aot.jit
+def _fold_bits0(bits, x):
+    """Fold packed bits at challenge x -> planar (8, n/2)."""
+    h = bits.shape[0] // 2
+    b0, b1 = bits[:h] != 0, bits[h:] != 0
+    return _fold_bits(b0, b1, b0 != b1, x, h)
+
+
+@aot.jit
+def _hp_round_poly(a, b, w, scale):
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = b[:, :h], b[:, h:]
+    da = planar.sub(a1, a0)
+    db = planar.sub(b1, b0)
+    bw = pf.mul(b0, w)
+    dbw = pf.mul(db, w)
+    dots = pf.dot_many([(a0, bw), (da, bw), (a0, dbw), (da, dbw)])
+    polys = pf.mul_scalar(
+        jnp.stack([dots[:, 0], planar.add(dots[:, 1], dots[:, 2]), dots[:, 3]], axis=1),
+        scale,
+    )
+    return jnp.swapaxes(polys, 0, 1)
+
+
+@aot.jit
+def _hp_round0_poly(a, bits, w):
+    h = a.shape[1] // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = bits[:h] != 0, bits[h:] != 0
+    da = planar.sub(a1, a0)
+    neq = b0 != b1
+    zero = jnp.zeros_like(a0)
+    a0db = planar.select(neq, planar.select(b1, a0, planar.neg(a0)), zero)
+    dadb = planar.select(neq, planar.select(b1, da, planar.neg(da)), zero)
+    dots = pf.dot_many(
+        [
+            (planar.select(b0, a0, zero), w),
+            (planar.add(a0db, planar.select(b0, da, zero)), w),
+            (dadb, w),
+        ]
+    )
+    return jnp.swapaxes(dots, 0, 1)
+
+
+def inner_product_prove_interleaved(a_rev, b_rev, challenges):
+    """Round-interleaved FS inner-product prover: absorbs round i's poly, THEN
+    draws fold challenge u[i]. Returns (polys (r,3,8), finals (2,8), u (r,8))
+    — u is an output (transcript-derived), not an input."""
+    r = int(a_rev.shape[1]).bit_length() - 1
+    assert a_rev.shape[1] == (1 << r)
+    polys, us = [], []
+    for _ in range(r):
+        p = _ip_round_poly(a_rev, b_rev)
+        challenges.absorb_array(p)
+        x = challenges.random_vec(1)[0]
+        us.append(x)
+        a_rev = _fold_half(a_rev, x)
+        b_rev = _fold_half(b_rev, x)
+        polys.append(p)
+    finals = jnp.stack([a_rev[:, 0], b_rev[:, 0]])
+    if r == 0:
+        return jnp.zeros((0, 3, 8), jnp.uint32), finals, jnp.zeros((0, 8), jnp.uint32)
+    return jnp.stack(polys), finals, jnp.stack(us)
+
+
+def binary_prove_bits_interleaved(bits_rev, u, challenges):
+    """Round-interleaved binary sumcheck on packed bits; the anchor point u is
+    an input (statement point), fold challenges v are transcript outputs.
+    Returns (polys, final, v)."""
+    r = u.shape[0]
+    assert bits_rev.shape[0] == (1 << r)
+    if r == 0:
+        one = planar.ones_mont(1)[:, 0]
+        final = jnp.where(bits_rev[0] != 0, one, jnp.zeros_like(one))
+        return jnp.zeros((0, 3, 8), jnp.uint32), final, jnp.zeros((0, 8), jnp.uint32)
+    table = _eq_table(u[1:])
+    scales = host_scales(u)
+    polys, vs = [], []
+    p0 = _bin_round0_poly(bits_rev, table)
+    challenges.absorb_array(p0)
+    v0 = challenges.random_vec(1)[0]
+    a_rev = _fold_bits0(bits_rev, v0)
+    polys.append(p0)
+    vs.append(v0)
+    for i in range(1, r):
+        p = _bin_round_poly(a_rev, table[:, : a_rev.shape[1] // 2], scales[i])
+        challenges.absorb_array(p)
+        v = challenges.random_vec(1)[0]
+        a_rev = _fold_half(a_rev, v)
+        polys.append(p)
+        vs.append(v)
+    return jnp.stack(polys), a_rev[:, 0], jnp.stack(vs)
+
+
+def hadamard_prove_bits_interleaved(a_rev, bits_rev, u, challenges):
+    """Round-interleaved Hadamard sumcheck (bit-valued b). Returns
+    (polys, finals (2,8), v)."""
+    r = u.shape[0]
+    assert a_rev.shape[1] == (1 << r) and bits_rev.shape[0] == (1 << r)
+    if r == 0:
+        one = planar.ones_mont(1)[:, 0]
+        b_final = jnp.where(bits_rev[0] != 0, one, jnp.zeros_like(one))
+        return (jnp.zeros((0, 3, 8), jnp.uint32),
+                jnp.stack([a_rev[:, 0], b_final]), jnp.zeros((0, 8), jnp.uint32))
+    table = _eq_table(u[1:])
+    scales = host_scales(u)
+    polys, vs = [], []
+    p0 = _hp_round0_poly(a_rev, bits_rev, table)
+    challenges.absorb_array(p0)
+    v0 = challenges.random_vec(1)[0]
+    b_rev = _fold_bits0(bits_rev, v0)
+    a_rev = _fold_half(a_rev, v0)
+    polys.append(p0)
+    vs.append(v0)
+    for i in range(1, r):
+        p = _hp_round_poly(a_rev, b_rev, table[:, : a_rev.shape[1] // 2], scales[i])
+        challenges.absorb_array(p)
+        v = challenges.random_vec(1)[0]
+        a_rev = _fold_half(a_rev, v)
+        b_rev = _fold_half(b_rev, v)
+        polys.append(p)
+        vs.append(v)
+    return jnp.stack(polys), jnp.stack([a_rev[:, 0], b_rev[:, 0]]), jnp.stack(vs)
+
+
+@aot.jit
 def _eq_table(u_tail):
     """eq table of u_tail in bit-reversed storage -> (8, 2^len)."""
     return pops.eq_table_rev(u_tail)

@@ -37,6 +37,7 @@ import numpy as np
 
 from ..field import fr, host
 from ..tensor import fr_ops
+from ..utils import aot
 
 HF = host.fr
 
@@ -51,7 +52,7 @@ def _pad_even(t: jax.Array) -> jax.Array:
     return fr_ops.pad_to(t, 2 * m)
 
 
-@jax.jit
+@aot.jit
 def _ip_round_kernel(a: jax.Array, b: jax.Array, x: jax.Array):
     """One inner-product round on even-size tensors: returns
     (c0_sum, c1_sum, c2_sum, a_folded, b_folded). Compile unit shared across all
@@ -67,7 +68,7 @@ def _ip_round_kernel(a: jax.Array, b: jax.Array, x: jax.Array):
     return c0, c1, c2, fr.add(a0, fr.mul(xb, da)), fr.add(b0, fr.mul(xb, db))
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(aot.jit, static_argnums=(3,))
 def _hp_round_kernel(a: jax.Array, b: jax.Array, u_tail: jax.Array, n_tail: int, x: jax.Array):
     """One hadamard round: coefficient tensors MLE-evaluated at u_tail."""
     a0, a1 = a[0::2], a[1::2]
@@ -82,7 +83,7 @@ def _hp_round_kernel(a: jax.Array, b: jax.Array, u_tail: jax.Array, n_tail: int,
     return (*evals, fr.add(a0, fr.mul(xb, da)), fr.add(b0, fr.mul(xb, db)))
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(aot.jit, static_argnums=(2,))
 def _bin_round_kernel(a: jax.Array, u_tail: jax.Array, n_tail: int, x: jax.Array):
     a0, a1 = a[0::2], a[1::2]
     d = fr.sub(a1, a0)
@@ -153,9 +154,9 @@ def binary_prove(a: jax.Array, u: jax.Array, v: jax.Array):
 
 # Fused single-dispatch forms of the unrolled provers (used as planar tail
 # provers on TPU: whole remaining round ladder in one executable).
-inner_product_prove_jit = jax.jit(inner_product_prove)
-hadamard_prove_jit = jax.jit(hadamard_prove)
-binary_prove_jit = jax.jit(binary_prove)
+inner_product_prove_jit = aot.jit(inner_product_prove)
+hadamard_prove_jit = aot.jit(hadamard_prove)
+binary_prove_jit = aot.jit(binary_prove)
 
 
 # ---------------------------------------------------------------------------

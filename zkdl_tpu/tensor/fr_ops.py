@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import fr
+from ..utils import aot
 from ..field.fr import P_INT, P_TOP_LIMB
 
 
@@ -58,7 +59,7 @@ def fr_sum(t: jax.Array) -> jax.Array:
     return t[0]
 
 
-@jax.jit
+@aot.jit
 def _me_step_kernel(t: jax.Array, x: jax.Array) -> jax.Array:
     a0 = t[0::2]
     a1 = t[1::2]
@@ -91,7 +92,7 @@ def me_eval(t: jax.Array, u: jax.Array) -> jax.Array:
     return t[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(aot.jit, static_argnums=(2,))
 def _partial_me_step_kernel(t: jax.Array, x: jax.Array, window: int) -> jax.Array:
     num_windows = t.shape[0] // (2 * window)
     tw = t.reshape(num_windows, 2, window, 8)
