@@ -96,8 +96,15 @@ def bench_mlp(config: str):
         baseline_spp = 0.1  # proxy
 
     t0 = time.perf_counter()
+    # torch nn.Linear default init (the reference benchmark model,
+    # /root/reference/model.py:14-30: kaiming_uniform(a=sqrt(5)) => bound
+    # 1/sqrt(fan_in)); per-layer gain < 1 keeps every pre-activation inside
+    # the protocol's 2^47 magnitude bound (zkrelu.cu:18). N(0, 0.3^2) weights
+    # at fan-in 1773 (gain ~12.6x/layer) overflow the bound by layer 4 and the
+    # verifier (correctly) rejects the recombination identity.
     weights = [
-        (rng.standard_normal((dims[i], dims[i + 1])) * 0.3).astype(np.float32)
+        rng.uniform(-1.0, 1.0, (dims[i], dims[i + 1])).astype(np.float32)
+        / np.sqrt(dims[i]).astype(np.float32)
         for i in range(len(dims) - 1)
     ]
     model = mlp.MLP.from_float_weights(weights, jax.random.PRNGKey(0))

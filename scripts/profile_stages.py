@@ -45,8 +45,11 @@ def main():
         dims = [64, 64, 64]
         batch = 4
 
+    # torch-default Linear init (see bench.py): keeps pre-activations inside
+    # the protocol's 2^47 magnitude bound at every depth
     weights = [
-        (rng.standard_normal((dims[i], dims[i + 1])) * 0.3).astype(np.float32)
+        rng.uniform(-1.0, 1.0, (dims[i], dims[i + 1])).astype(np.float32)
+        / np.sqrt(dims[i]).astype(np.float32)
         for i in range(len(dims) - 1)
     ]
     log("weights generated")
